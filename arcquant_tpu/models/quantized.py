@@ -1,0 +1,248 @@
+"""Quantized decoder layers (W4A4 NVFP4 + ARC) for Llama/Qwen2.
+
+TPU re-design of the reference's quantized model layer
+(model/qLlamaLayer.py, model/qQwenLayer.py, model/qLinearLayer.py):
+
+- Activations are quantized ONCE per consumer group — q/k/v share a
+  single quantized activation, as do gate/up (the reference calibrates
+  per-projection but q/k/v see identical inputs so their indices
+  coincide; qLlamaLayer.py:297-303 feeds one quantized tuple to all
+  three projections).
+- Weights are quantized at load time with ARC outlier-column
+  duplication (qLinearLayer.py:55).
+- Global scales of both operands are applied at the GEMM epilogue
+  (qLinearLayer.py:69).
+- Optional KV fake quantization: K pre-RoPE, V pre-attention, asym
+  int-N groups (qLlamaLayer.py:311-339; group 64 Llama / 128 Qwen).
+
+Two execution modes share identical numerics:
+  mode="fake":   pure-jnp qdq ops (accuracy reference, any backend)
+  mode="kernel": fused Pallas quantize + dequant-GEMM (TPU fast path)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, QuantConfig
+from ..quant import arc, numerics as N, packing
+from . import llama
+
+Params = Dict[str, Any]
+
+# The four activation-quantization sites per decoder layer, at the
+# granularity the reference registers reorder-index buffers
+# (model_utils.py:39-42): attention input (q/k/v), attention output
+# (o), MLP input (gate/up), MLP intermediate (down).
+QUANT_SITES = ("attn_in", "o_in", "mlp_in", "down_in")
+_SITE_OF_PROJ = {"q": "attn_in", "k": "attn_in", "v": "attn_in",
+                 "o": "o_in", "gate": "mlp_in", "up": "mlp_in",
+                 "down": "down_in"}
+
+
+class SiteCalib(NamedTuple):
+    """Calibration artifact for one activation-quantization site."""
+    reorder_index: jax.Array   # [K] int32, ascending importance
+    select_num: int            # KE, multiple of 64 (static)
+
+
+def identity_calib(cfg: ModelConfig, select_frac: float = 0.0
+                   ) -> list[Dict[str, SiteCalib]]:
+    """Trivial calibration (identity channel order, fixed outlier
+    fraction) for tests and for running without a calibration pass."""
+    def site(k):
+        ke = int(round(select_frac * k / 64)) * 64
+        return SiteCalib(jnp.arange(k, dtype=jnp.int32), ke)
+    per_layer = {
+        "attn_in": site(cfg.hidden_size),
+        "o_in": site(cfg.q_size),
+        "mlp_in": site(cfg.hidden_size),
+        "down_in": site(cfg.intermediate_size),
+    }
+    return [dict(per_layer) for _ in range(cfg.num_layers)]
+
+
+# ---------------------------------------------------------------------------
+# Weight quantization (load-time, once)
+# ---------------------------------------------------------------------------
+
+def _quantize_linear_fake(p: Params, calib: SiteCalib,
+                          quant_type: str) -> Params:
+    wa, gs = arc.arc_quantize_w_qdq(p["w"], calib.reorder_index,
+                                    calib.select_num, quant_type)
+    out = {"w_aug": wa.astype(jnp.bfloat16), "gs": gs}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def _quantize_linear_packed(p: Params, calib: SiteCalib) -> packing.PackedWeight:
+    return packing.pack_weight_arc(p["w"], calib.reorder_index,
+                                   calib.select_num, bias=p.get("b"))
+
+
+def quantize_layer_params(layer_p: Params, layer_calib: Dict[str, SiteCalib],
+                          qcfg: QuantConfig) -> Params:
+    """Quantize one decoder layer's linears (analog of the reference's
+    one-layer-at-a-time swap, model_utils.py:24-46)."""
+    out = {"attn_norm": layer_p["attn_norm"], "mlp_norm": layer_p["mlp_norm"]}
+    for proj in ("q", "k", "v", "o", "gate", "up", "down"):
+        calib = layer_calib[_SITE_OF_PROJ[proj]]
+        if qcfg.quant_type == "BF16":
+            out[proj] = layer_p[proj]
+        elif qcfg.use_kernels and qcfg.quant_type == "NVFP4":
+            out[proj] = _quantize_linear_packed(layer_p[proj], calib)
+        else:
+            out[proj] = _quantize_linear_fake(layer_p[proj], calib,
+                                              qcfg.quant_type)
+    return out
+
+
+def quantize_model_params(cfg: ModelConfig, params: Params,
+                          calib: list, qcfg: QuantConfig) -> Params:
+    """Quantize every decoder layer; embeddings/norms/lm_head stay bf16
+    (the reference swaps only decoder layers, model_utils.py:19-47)."""
+    qparams = {k: v for k, v in params.items() if k != "layers"}
+    qparams["layers"] = [
+        quantize_layer_params(lp, calib[i], qcfg)
+        for i, lp in enumerate(params["layers"])]
+    return qparams
+
+
+# ---------------------------------------------------------------------------
+# Quantized forward
+# ---------------------------------------------------------------------------
+
+def _act_quantize(x2d: jax.Array, calib: SiteCalib, qcfg: QuantConfig):
+    """Quantize a [M, K] activation for its site. Returns (x_aug in
+    scaled units, global_scale)."""
+    if qcfg.use_kernels and qcfg.quant_type == "NVFP4":
+        from ..kernels import quantize as qk
+        return qk.quantize_x_arc(x2d, calib.reorder_index,
+                                 calib.select_num)
+    return arc.arc_quantize_x_qdq(x2d, calib.reorder_index,
+                                  calib.select_num, qcfg.quant_type)
+
+
+def _q_linear(qp, xa: jax.Array, gx: jax.Array, qcfg: QuantConfig,
+              out_dtype) -> jax.Array:
+    """Apply a quantized linear to an already-quantized activation."""
+    if isinstance(qp, packing.PackedWeight):
+        from ..kernels import gemm as gk
+        return gk.gemm_dequant(xa, qp, gx, out_dtype=out_dtype)
+    if "w_aug" in qp:
+        y = jnp.dot(xa.astype(jnp.bfloat16), qp["w_aug"].T,
+                    preferred_element_type=jnp.float32)
+        y = y * (gx * qp["gs"])
+        if "b" in qp:
+            y = y + qp["b"].astype(jnp.float32)
+        return y.astype(out_dtype)
+    # plain bf16 linear
+    return llama.linear(qp, xa.astype(out_dtype))
+
+
+def quant_attention_block(cfg: ModelConfig, p: Params, x: jax.Array,
+                          cos: jax.Array, sin: jax.Array,
+                          layer_calib: Dict[str, SiteCalib],
+                          qcfg: QuantConfig,
+                          kv_cache=None, cache_len=None):
+    """Quantized self-attention (reference QLlamaAttention.forward,
+    qLlamaLayer.py:280-372)."""
+    b, t, d = x.shape
+    dtype = x.dtype
+    x2 = x.reshape(b * t, d)
+    xa, gx = _act_quantize(x2, layer_calib["attn_in"], qcfg)
+    q = _q_linear(p["q"], xa, gx, qcfg, dtype).reshape(
+        b, t, cfg.num_heads, cfg.head_dim)
+    k = _q_linear(p["k"], xa, gx, qcfg, dtype).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = _q_linear(p["v"], xa, gx, qcfg, dtype).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim)
+
+    if qcfg.kv_quant:
+        # K quantized pre-RoPE to preserve positional info
+        # (qLlamaLayer.py:311-312)
+        k = N.asym_int_group_qdq(k, qcfg.kv_bits, qcfg.kv_group_size)
+    q, k = llama.apply_rope(q, k, cos, sin)
+
+    if kv_cache is not None:
+        kc, vc = kv_cache
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype),
+                                          (0, cache_len, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype),
+                                          (0, cache_len, 0, 0))
+        k_all, v_all = kc.astype(dtype), vc.astype(dtype)
+        tmax = kc.shape[1]
+        pos = jnp.arange(tmax)
+        qi = jnp.arange(t)[:, None] + cache_len
+        cmask = (qi >= pos[None, :]) & (pos < cache_len + t)[None, :]
+        mask, causal = cmask[None, None], False
+        new_cache = (kc, vc)
+    else:
+        k_all, v_all = k, v
+        mask, causal = None, True
+        new_cache = None
+
+    if qcfg.kv_quant:
+        v_all = N.asym_int_group_qdq(v_all, qcfg.kv_bits,
+                                     qcfg.kv_group_size)
+    kk = llama.repeat_kv(k_all, cfg.num_kv_groups)
+    vv = llama.repeat_kv(v_all, cfg.num_kv_groups)
+    attn = llama.dense_attention(q, kk, vv, causal=causal, mask=mask)
+    attn2 = attn.reshape(b * t, cfg.q_size)
+
+    # Re-quantize the attention output for o_proj (qLlamaLayer.py:364)
+    oa, go = _act_quantize(attn2, layer_calib["o_in"], qcfg)
+    out = _q_linear(p["o"], oa, go, qcfg, dtype).reshape(b, t, d)
+    return out, new_cache
+
+
+def quant_mlp_block(cfg: ModelConfig, p: Params, x: jax.Array,
+                    layer_calib: Dict[str, SiteCalib],
+                    qcfg: QuantConfig) -> jax.Array:
+    """Quantized MLP (reference QLlamaMLP.forward, qLlamaLayer.py:
+    422-443): one quantize for gate&up, re-quantize the silu(g)*u
+    product for down_proj."""
+    b, t, d = x.shape
+    dtype = x.dtype
+    x2 = x.reshape(b * t, d)
+    xa, gx = _act_quantize(x2, layer_calib["mlp_in"], qcfg)
+    gate = _q_linear(p["gate"], xa, gx, qcfg, jnp.float32)
+    up = _q_linear(p["up"], xa, gx, qcfg, jnp.float32)
+    inter = (jax.nn.silu(gate) * up).astype(dtype)
+    ia, gi = _act_quantize(inter, layer_calib["down_in"], qcfg)
+    return _q_linear(p["down"], ia, gi, qcfg, dtype).reshape(b, t, d)
+
+
+def quant_layer_forward(cfg: ModelConfig, p: Params, x: jax.Array,
+                        cos: jax.Array, sin: jax.Array,
+                        layer_calib: Dict[str, SiteCalib],
+                        qcfg: QuantConfig,
+                        kv_cache=None, cache_len=None):
+    h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
+    attn, new_cache = quant_attention_block(
+        cfg, p, h, cos, sin, layer_calib, qcfg, kv_cache, cache_len)
+    x = x + attn
+    h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+    x = x + quant_mlp_block(cfg, p, h, layer_calib, qcfg)
+    return x, new_cache
+
+
+def quant_model_forward(cfg: ModelConfig, qparams: Params,
+                        calib: list, qcfg: QuantConfig,
+                        tokens: jax.Array,
+                        positions: Optional[jax.Array] = None) -> jax.Array:
+    """Full quantized forward (no cache): tokens [B,T] -> logits."""
+    b, t = tokens.shape
+    if positions is None:
+        positions = jnp.arange(t)[None, :].repeat(b, 0)
+    x = qparams["embed"][tokens]
+    cos, sin = llama.rope_cos_sin(cfg, positions)
+    for i, p in enumerate(qparams["layers"]):
+        x, _ = quant_layer_forward(cfg, p, x, cos, sin, calib[i], qcfg)
+    x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
+    head = qparams.get("lm_head", qparams["embed"])
+    return jnp.dot(x, head.T, preferred_element_type=jnp.float32)

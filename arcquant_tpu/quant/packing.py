@@ -1,0 +1,156 @@
+"""Packed storage formats for quantized tensors on TPU.
+
+Layout design (TPU-first, NOT the reference's CUTLASS swizzle):
+
+Weights are stored **K-major** (in_features leading) so the fused
+dequant-GEMM contracts a [bk, bn] weight tile against a [bm, bk]
+activation tile with no transposes:
+
+  codes  : uint8 [Kq/2, N]  — byte g holds e2m1 codes for k=2g (low
+                              nibble) and k=2g+1 (high nibble)
+  scales : float8_e4m3fn [Kq/16, N] — per-16-element UE4M3 group scale
+  global : float32 scalar   — tensor scale absmax/(448*6)
+
+where Kq = K + KE_padded is the ARC-augmented contraction dim: the
+first K rows are the plain quantized weight, rows K..K+KE are the
+duplicated outlier columns (reference reorder.cu:306-325 semantics,
+flat layout per SURVEY.md §7 delta 4), and the remainder up to the
+next multiple of `pad_multiple` is zero groups (zero scale ⇒ zero
+contribution).
+
+The reference's scale swizzle (CUTLASS LayoutSFA, bindings.cpp:83-95)
+is replaced by this plain row-major layout — TPU mandates no scale
+factor layout, and [Kq/16, N] tiles map directly onto (32,128) uint8
+VMEM tiles.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import numerics as N
+
+# Kq is padded so every k-block of the GEMM grid is full.
+K_PAD_MULTIPLE = 512
+
+
+class PackedWeight(NamedTuple):
+    """A quantized+packed linear weight (pytree of arrays)."""
+    codes: jax.Array        # uint8 [Kq//2, N]
+    scales: jax.Array       # float8_e4m3fn [Kq//16, N]
+    global_scale: jax.Array  # f32 scalar
+    bias: Optional[jax.Array]  # [N] or None
+
+    @property
+    def kq(self) -> int:
+        return self.codes.shape[0] * 2
+
+    @property
+    def n(self) -> int:
+        return self.codes.shape[1]
+
+
+def pack_nibbles(codes: jax.Array, axis: int = -1) -> jax.Array:
+    """Pack pairs of 4-bit codes (uint8 values 0..15) along `axis` into
+    bytes: out = codes[even] | codes[odd] << 4."""
+    axis = axis % codes.ndim
+    even = jax.lax.slice_in_dim(codes, 0, codes.shape[axis], 2, axis)
+    odd = jax.lax.slice_in_dim(codes, 1, codes.shape[axis], 2, axis)
+    return (even | (odd << 4)).astype(jnp.uint8)
+
+
+def unpack_nibbles(packed: jax.Array, axis: int = -1) -> jax.Array:
+    """Inverse of pack_nibbles: interleave low/high nibbles along `axis`."""
+    axis = axis % packed.ndim
+    low = packed & jnp.uint8(0xF)
+    high = packed >> 4
+    stacked = jnp.stack([low, high], axis=axis + 1)
+    shape = list(packed.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def quantize_nvfp4_groups(x: jax.Array):
+    """Quantize along the last axis in 16-element groups.
+
+    Args:
+      x: [..., K] with K % 16 == 0, already divided by the global scale.
+    Returns:
+      (codes uint8 [..., K] (unpacked e2m1 codes),
+       scales float8_e4m3fn [..., K//16])
+    """
+    shape = x.shape
+    g = x.reshape(shape[:-1] + (shape[-1] // N.NVFP4_GROUP, N.NVFP4_GROUP))
+    g = g.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+    scale = jnp.clip(absmax / N.E2M1_MAX, N.UE4M3_MIN, N.UE4M3_MAX)
+    scale8 = scale.astype(jnp.float8_e4m3fn)
+    scale_dq = scale8.astype(jnp.float32)
+    codes = N.e2m1_encode(g / scale_dq)
+    return codes.reshape(shape), scale8.reshape(shape[:-1] + (shape[-1] // 16,))
+
+
+def dequantize_nvfp4_groups(codes: jax.Array, scales: jax.Array,
+                            dtype=jnp.float32) -> jax.Array:
+    """Inverse of quantize_nvfp4_groups (scaled units)."""
+    vals = N.e2m1_decode(codes, jnp.float32)
+    s = scales.astype(jnp.float32)
+    g = vals.reshape(vals.shape[:-1] + (s.shape[-1], N.NVFP4_GROUP))
+    return (g * s[..., None]).reshape(vals.shape).astype(dtype)
+
+
+def pad_kq(k: int, select_num: int,
+           pad_multiple: int = K_PAD_MULTIPLE) -> int:
+    """Augmented+padded contraction length."""
+    kq = k + select_num
+    return kq + (-kq) % pad_multiple
+
+
+def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
+                    select_num: int,
+                    bias: jax.Array | None = None,
+                    pad_multiple: int = K_PAD_MULTIPLE) -> PackedWeight:
+    """Quantize+pack an [N, K] weight with ARC column duplication into
+    the K-major TPU layout (one-time, at load; reference analog
+    qLinearLayer.py:55 NVFP4_reorder_quantize_w).
+
+    Numerics match quant.arc.arc_quantize_w_qdq exactly: outlier
+    columns (the last `select_num` entries of reorder_index) are
+    re-quantized duplicates appended after the K plain columns.
+    """
+    n, k = w.shape
+    gs = N.nvfp4_global_scale(w)
+    ws = w.astype(jnp.float32) / gs
+    if select_num:
+        idx = reorder_index[-select_num:].astype(jnp.int32)
+        ws = jnp.concatenate([ws, ws[:, idx]], axis=1)
+    kq = pad_kq(k, select_num, pad_multiple)
+    pad = kq - ws.shape[1]
+    if pad:
+        ws = jnp.pad(ws, ((0, 0), (0, pad)))
+    codes, scales = quantize_nvfp4_groups(ws)
+    if pad:
+        # Zero out padded group scales so padding contributes exactly 0.
+        ngroups_real = (k + select_num) // 16
+        smask = (jnp.arange(kq // 16) < ngroups_real)[None, :]
+        scales = jnp.where(smask, scales.astype(jnp.float32),
+                           0.0).astype(jnp.float8_e4m3fn)
+    packed = pack_nibbles(codes, axis=-1)          # [N, Kq//2]
+    return PackedWeight(codes=packed.T,             # [Kq//2, N]
+                        scales=scales.T,            # [Kq//16, N]
+                        global_scale=gs,
+                        bias=bias)
+
+
+def dequantize_weight(pw: PackedWeight, k: int, select_num: int,
+                      dtype=jnp.float32) -> jax.Array:
+    """Reconstruct the augmented qdq weight [N, K+KE] in scaled units
+    (golden path for parity tests; the global scale is NOT folded in,
+    matching arc_quantize_w_qdq)."""
+    codes = unpack_nibbles(pw.codes.T, axis=-1)     # [N, Kq]
+    full = dequantize_nvfp4_groups(codes, pw.scales.T, dtype)
+    return full[:, :k + select_num]

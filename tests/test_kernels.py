@@ -1,0 +1,122 @@
+"""Pallas kernel parity tests (interpret mode on CPU): the fused
+dequant-GEMM and activation quantize ops must match the golden jnp
+numerics bit-for-bit-ish (fp32 accumulation ordering aside).
+
+Formalizes the reference's kernel correctness sweep
+(kernels/main.py:14-47) as pytest (SURVEY.md §4 item 1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arcquant_tpu.quant import arc, numerics as N, packing
+from arcquant_tpu.kernels import gemm, quantize as qk
+from tests.test_numerics import synthetic_outlier_x
+
+
+class TestDecoders:
+    def test_e2m1_bit_decode_matches_table(self):
+        codes = jnp.arange(16, dtype=jnp.int32).reshape(2, 8)
+        got = gemm._decode_e2m1_f32(codes)
+        expect = N.e2m1_decode(codes.astype(jnp.uint8))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+    def test_ue4m3_bit_decode_matches_fp8(self):
+        # 0x7F is NaN in e4m3fn; the encoder never emits it (values are
+        # clamped to <= 448 == 0x7E), so it is excluded here.
+        bytes_ = jnp.arange(112, dtype=jnp.int32).reshape(7, 16)
+        got = gemm._decode_ue4m3_f32(bytes_)
+        fp8 = jax.lax.bitcast_convert_type(
+            bytes_.astype(jnp.uint8), jnp.float8_e4m3fn)
+        expect = fp8.astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+class TestQuantizeX:
+    def test_matches_golden_arc(self):
+        x = synthetic_outlier_x(jax.random.PRNGKey(0), 24, 512)
+        ridx = jnp.arange(512, dtype=jnp.int32)
+        for ke in (0, 64, 128):
+            xa, gx = qk.quantize_x_arc(x, ridx, ke)
+            golden, ggx = arc.arc_quantize_x_qdq(x, ridx, ke)
+            kq = packing.pad_kq(512, ke)
+            assert xa.shape == (24, kq)
+            np.testing.assert_allclose(
+                np.asarray(xa[:, :512 + ke], np.float32),
+                np.asarray(golden), rtol=0, atol=0)
+            if kq > 512 + ke:
+                assert float(jnp.abs(xa[:, 512 + ke:]).max()) == 0.0
+            assert abs(float(gx) - float(ggx)) < 1e-12
+
+    def test_rmsnorm_quantize_matches_unfused(self):
+        from arcquant_tpu.models import llama
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 256))
+        w = jax.random.normal(jax.random.PRNGKey(2), (256,)) * 0.1 + 1
+        ridx = jnp.arange(256, dtype=jnp.int32)
+        xa, gx = qk.rmsnorm_quantize_x(x, w, 1e-5, ridx, 64)
+        normed = llama.rms_norm(x, w, 1e-5)
+        xa2, gx2 = qk.quantize_x_arc(normed, ridx, 64)
+        np.testing.assert_allclose(np.asarray(xa, np.float32),
+                                   np.asarray(xa2, np.float32),
+                                   rtol=1e-2, atol=1e-3)
+
+
+class TestGemmDequant:
+    @pytest.mark.parametrize("m,n,k,ke", [
+        (4, 256, 512, 0),       # decode shape
+        (24, 256, 512, 128),    # ragged M with ARC
+        (128, 512, 1024, 64),   # prefill-ish
+    ])
+    def test_matches_golden_linear(self, m, n, k, ke):
+        key = jax.random.PRNGKey(m + n + k + ke)
+        x = synthetic_outlier_x(key, m, k)
+        w = (jax.random.normal(jax.random.PRNGKey(5), (n, k)) * 0.05)
+        ridx = jnp.argsort(jnp.max(jnp.abs(w), axis=0)).astype(jnp.int32)
+
+        pw = packing.pack_weight_arc(w, ridx, ke)
+        xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
+        y = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+
+        golden = arc.arc_linear_fake(x, w, ridx, ke)
+        assert y.shape == (m, n)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(golden),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_bias(self):
+        m, n, k = 8, 128, 256
+        x = jax.random.normal(jax.random.PRNGKey(6), (m, k))
+        w = jax.random.normal(jax.random.PRNGKey(7), (n, k)) * 0.1
+        b = jax.random.normal(jax.random.PRNGKey(8), (n,))
+        ridx = jnp.arange(k, dtype=jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, 0, bias=b)
+        xa, gx = qk.quantize_x_arc(x, ridx, 0, kq=pw.kq)
+        y = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        golden = arc.arc_linear_fake(x, w, ridx, 0, bias=b)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(golden),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_mse_decreases_with_ke_sweep(self):
+        """Port of the reference kernel MSE sweep (kernels/main.py)."""
+        m, n, k = 32, 128, 512
+        x = synthetic_outlier_x(jax.random.PRNGKey(9), m, k)
+        w = jax.random.normal(jax.random.PRNGKey(10), (n, k)) * 0.05
+        ridx = jnp.arange(k, dtype=jnp.int32)  # outliers planted at end
+        y_true = x @ w.T
+        mses = []
+        for ke in (0, 128, 256):
+            pw = packing.pack_weight_arc(w, ridx, ke)
+            xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
+            y = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+            mses.append(float(jnp.mean((y - y_true) ** 2)))
+        assert mses[2] < mses[1] < mses[0], mses
+
+    def test_dequantize_weight_kernel_matches_host(self):
+        w = jax.random.normal(jax.random.PRNGKey(11), (64, 512))
+        ridx = jnp.arange(512, dtype=jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, 64)
+        full = gemm.dequantize_weight_kernel(pw, jnp.float32)
+        host = packing.dequantize_weight(pw, 512, 64)
+        np.testing.assert_allclose(np.asarray(full.T[:, :512 + 64]),
+                                   np.asarray(host), rtol=1e-6, atol=1e-6)

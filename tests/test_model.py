@@ -1,0 +1,126 @@
+"""Model forward tests: bf16 baseline, fake-quant parity, KV cache."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arcquant_tpu.config import get_model_config, QuantConfig
+from arcquant_tpu.models import llama, quantized
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                cfg.vocab_size)
+    return cfg, params, tokens
+
+
+def test_bf16_forward_shape(tiny):
+    cfg, params, tokens = tiny
+    logits = llama.model_forward(cfg, params, tokens)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_qwen_bias_forward():
+    cfg = get_model_config("test-qwen-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    assert "b" in params["layers"][0]["q"]
+    tokens = jnp.zeros((1, 8), jnp.int32)
+    logits = llama.model_forward(cfg, params, tokens)
+    assert logits.shape == (1, 8, cfg.vocab_size)
+
+
+def test_kv_cache_decode_matches_full(tiny):
+    cfg, params, tokens = tiny
+    b, t = tokens.shape
+    full = llama.model_forward(cfg, params, tokens)
+
+    # incremental: prefill t-4, then decode 4 single tokens
+    tmax = t
+    split = t - 4
+    caches = [(jnp.zeros((b, tmax, cfg.num_kv_heads, cfg.head_dim),
+                         jnp.float32),) * 2
+              for _ in range(cfg.num_layers)]
+
+    def run(toks, caches, start):
+        pos = jnp.arange(toks.shape[1])[None, :] + start
+        pos = jnp.broadcast_to(pos, toks.shape)
+        x = params["embed"][toks]
+        cos, sin = llama.rope_cos_sin(cfg, pos)
+        new_caches = []
+        for p, c in zip(params["layers"], caches):
+            x, nc = llama.layer_forward(cfg, p, x, cos, sin, c, start)
+            new_caches.append(nc)
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+        head = params.get("lm_head", params["embed"])
+        return jnp.dot(x, head.T), new_caches
+
+    out1, caches = run(tokens[:, :split], caches, 0)
+    outs = [out1]
+    for i in range(split, t):
+        o, caches = run(tokens[:, i:i + 1], caches, i)
+        outs.append(o)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fake_quant_forward_close_to_bf16(tiny):
+    cfg, params, tokens = tiny
+    base = llama.model_forward(cfg, params, tokens)
+    calib = quantized.identity_calib(cfg, select_frac=0.125)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False)
+    qparams = quantized.quantize_model_params(cfg, params, calib, qcfg)
+    qlogits = quantized.quant_model_forward(cfg, qparams, calib, qcfg,
+                                            tokens)
+    assert qlogits.shape == base.shape
+    # logits should be correlated (random init is noise-sensitive; just
+    # check relative error is bounded and argmax mostly agrees)
+    # Random-init models have no redundancy, so W4A4 noise compounds;
+    # this is a sanity bound — real accuracy is gated by the PPL tests.
+    rel = float(jnp.linalg.norm(qlogits - base) / jnp.linalg.norm(base))
+    assert rel < 0.6, rel
+    agree = float(jnp.mean(jnp.argmax(qlogits, -1) == jnp.argmax(base, -1)))
+    assert agree > 0.5, agree
+
+
+def test_arc_improves_over_plain_nvfp4(tiny):
+    cfg, params, tokens = tiny
+    base = llama.model_forward(cfg, params, tokens)
+    errs = {}
+    for frac in (0.0, 0.25):
+        calib = quantized.identity_calib(cfg, select_frac=frac)
+        qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False)
+        qp = quantized.quantize_model_params(cfg, params, calib, qcfg)
+        ql = quantized.quant_model_forward(cfg, qp, calib, qcfg, tokens)
+        errs[frac] = float(jnp.mean((ql - base) ** 2))
+    # With random (identity) channel selection ARC still compensates
+    # some channels, so error must not get worse; with calibrated
+    # indices it improves substantially (tested in test_calib).
+    assert errs[0.25] <= errs[0.0] * 1.05, errs
+
+
+def test_kv_quant_forward_runs(tiny):
+    cfg, params, tokens = tiny
+    calib = quantized.identity_calib(cfg)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False,
+                       kv_quant=True, kv_group_size=64)
+    qparams = quantized.quantize_model_params(cfg, params, calib, qcfg)
+    logits = quantized.quant_model_forward(cfg, qparams, calib, qcfg,
+                                           tokens)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+@pytest.mark.parametrize("qt", ["MXFP4", "INT4"])
+def test_other_formats_forward(tiny, qt):
+    cfg, params, tokens = tiny
+    calib = quantized.identity_calib(cfg)
+    qcfg = QuantConfig(quant_type=qt, use_kernels=False)
+    qparams = quantized.quantize_model_params(cfg, params, calib, qcfg)
+    logits = quantized.quant_model_forward(cfg, qparams, calib, qcfg,
+                                           tokens)
+    assert bool(jnp.all(jnp.isfinite(logits)))
