@@ -1,0 +1,192 @@
+"""Paged int4 KV cache as plain JAX arrays.
+
+TPU re-design of the reference's paged-KV stack: the CUDA
+`paged_kv_t` page pool + append kernels (kernels/include/flashinfer/
+page.cuh:15-219) and the Python pool wrapper
+`MultiLayerPagedKVCache4Bit` (model/kv_cache.py:139-297).
+
+Design (SURVEY.md §7 delta 5 — ONE real implementation):
+  - Per-token-per-head asymmetric int4 over the head dim, matching the
+    reference's `asym_quantize_and_pack_i4` (kv_cache.py:22-33), but
+    with dequant expressed as  x = code * scale + minv  so the kernel
+    does one fused multiply-add per element (the reference stores
+    {scale, zero} half2; minv = -zero*scale is the same information).
+  - Split-half nibble packing along the head dim: byte d of a token
+    packs element d (low nibble) and element d + Dh/2 (high nibble),
+    so in-kernel unpack is concat(low, high) — NO lane interleave
+    (the reference needs FoldFactor thread remapping for this,
+    decode.cuh:527; on TPU the layout trick makes it free).
+  - Page pool layout [L, P, Hkv, page, Dh/2] u8 with params
+    [L, P, Hkv, page] f32 ×2 per K/V: the last two dims form the
+    (sublane, lane) tile the decode kernel streams.
+  - Append = vectorized scatter (jnp .at[] on donated buffers); the
+    reference needs two dedicated CUDA kernels for this
+    (page.cuh:120-219).
+
+Page-table bookkeeping (allocation, free lists) is host-side in
+engine/scheduler.py; this module only defines device-side state and
+ops so everything here jits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, KV_PAGE_SIZE
+
+
+class PagedKVCache(NamedTuple):
+    """Device-side paged KV state (a pytree; donate across steps)."""
+    k_codes: jax.Array    # u8  [L, P, Hkv, page, Dh//2]
+    k_scale: jax.Array    # f32 [L, P, Hkv, page]
+    k_min: jax.Array      # f32 [L, P, Hkv, page]
+    v_codes: jax.Array    # u8  [L, P, Hkv, page, Dh//2]
+    v_scale: jax.Array    # f32 [L, P, Hkv, page]
+    v_min: jax.Array      # f32 [L, P, Hkv, page]
+
+    @property
+    def page_size(self) -> int:
+        return self.k_codes.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_codes.shape[1]
+
+    @property
+    def head_dim(self) -> int:
+        return self.k_codes.shape[4] * 2
+
+
+def init_cache(cfg: ModelConfig, num_pages: int,
+               page_size: int = KV_PAGE_SIZE) -> PagedKVCache:
+    """Pre-allocate the page pool (reference kv_cache.py:146-159)."""
+    l, h, d = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    assert d % 2 == 0
+    codes = jnp.zeros((l, num_pages, h, page_size, d // 2), jnp.uint8)
+    params = jnp.zeros((l, num_pages, h, page_size), jnp.float32)
+    return PagedKVCache(codes, params, params, codes, params, params)
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-token-per-head asym int4 quantize over the last (head) dim.
+
+    Args:
+      x: [..., Dh] K or V values.
+    Returns:
+      (codes u8 [..., Dh//2] split-half packed, scale f32 [...],
+       minv f32 [...]) with dequant x ≈ codes_unpacked * scale + minv.
+
+    Numerics match reference asym_quantize_and_pack_i4
+    (kv_cache.py:22-33): scale = (max-min).clamp(1e-5)/15,
+    zero = round(-min/scale); minv here = -zero*scale (so the stored
+    zero stays on the int grid exactly as the reference's does).
+    """
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    xmax = jnp.max(xf, axis=-1)
+    xmin = jnp.min(xf, axis=-1)
+    scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
+    zero = jnp.clip(jnp.round(-xmin / scale), 0.0, 15.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]) + zero[..., None],
+                 0.0, 15.0).astype(jnp.uint8)
+    lo, hi = q[..., :d // 2], q[..., d // 2:]
+    codes = lo | (hi << 4)
+    return codes, scale, -zero * scale
+
+
+def unpack_codes(codes: jax.Array) -> jax.Array:
+    """Split-half unpack: u8 [..., Dh//2] -> u8 [..., Dh]."""
+    return jnp.concatenate([codes & jnp.uint8(0xF), codes >> 4], axis=-1)
+
+
+def dequantize_kv(codes: jax.Array, scale: jax.Array, minv: jax.Array,
+                  dtype=jnp.float32) -> jax.Array:
+    """Inverse of quantize_kv (golden path for kernel parity tests)."""
+    vals = unpack_codes(codes).astype(jnp.float32)
+    return (vals * scale[..., None] + minv[..., None]).astype(dtype)
+
+
+def _slots(page_table: jax.Array, positions: jax.Array, page_size: int):
+    """Map absolute token positions to (page index, in-page offset).
+
+    page_table: [B, max_pages_per_seq] i32; positions: [B, T] i32.
+    """
+    page_of = positions // page_size
+    offs = positions % page_size
+    pidx = jnp.take_along_axis(page_table, page_of, axis=1)
+    return pidx, offs
+
+
+def append_kv(cache: PagedKVCache, layer: int, k_new: jax.Array,
+              v_new: jax.Array, page_table: jax.Array,
+              positions: jax.Array) -> PagedKVCache:
+    """Quantize and scatter new K/V tokens into the page pool.
+
+    Replaces the reference's init_kv_i4 (ragged prefill scatter) and
+    append_kv_i4 (single-token append) CUDA kernels
+    (page.cuh:120-219) — one vectorized scatter covers both.
+
+    Args:
+      k_new/v_new: [B, T, Hkv, Dh] post-RoPE K and V.
+      page_table: [B, max_pages_per_seq] i32 page ids for each seq.
+      positions: [B, T] absolute positions to write (entries < 0 are
+        masked out — used for ragged batches).
+    """
+    b, t, h, d = k_new.shape
+    ps = cache.page_size
+    valid = positions >= 0
+    safe_pos = jnp.maximum(positions, 0)
+    pidx, offs = _slots(page_table, safe_pos, ps)
+    # Route masked tokens to a write that changes nothing: scatter with
+    # mode="drop" on an out-of-range page index.
+    pidx = jnp.where(valid, pidx, cache.num_pages)
+
+    def scat(codes_buf, scale_buf, min_buf, x):
+        codes, scale, minv = quantize_kv(x)       # [B,T,H,D/2],[B,T,H]
+        # advanced-indexing scatter: leading [B,T] index arrays select
+        # (page, offset); the Hkv slice stays in place
+        cb = codes_buf.at[pidx, :, offs].set(
+            codes.astype(jnp.uint8), mode="drop")
+        sb = scale_buf.at[pidx, :, offs].set(scale, mode="drop")
+        mb = min_buf.at[pidx, :, offs].set(minv, mode="drop")
+        return cb, sb, mb
+
+    kc, ks, km = scat(cache.k_codes[layer], cache.k_scale[layer],
+                      cache.k_min[layer], k_new)
+    vc, vs, vm = scat(cache.v_codes[layer], cache.v_scale[layer],
+                      cache.v_min[layer], v_new)
+    return PagedKVCache(
+        cache.k_codes.at[layer].set(kc),
+        cache.k_scale.at[layer].set(ks),
+        cache.k_min.at[layer].set(km),
+        cache.v_codes.at[layer].set(vc),
+        cache.v_scale.at[layer].set(vs),
+        cache.v_min.at[layer].set(vm),
+    )
+
+
+def gather_kv(cache: PagedKVCache, layer: int, page_table: jax.Array,
+              max_len: int, dtype=jnp.float32
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Dequantize a sequence's K/V back to dense [B, max_len, Hkv, Dh]
+    (debug/parity path; the fast path is the fused Pallas decode)."""
+    ps = cache.page_size
+    b = page_table.shape[0]
+    npp = max_len // ps + (1 if max_len % ps else 0)
+    pids = page_table[:, :npp]                    # [B, npp]
+
+    def one(codes, scale, minv):
+        c = codes[layer][pids]                    # [B, npp, H, ps, D/2]
+        s = scale[layer][pids]
+        m = minv[layer][pids]
+        x = dequantize_kv(c, s, m, dtype)         # [B, npp, H, ps, D]
+        x = x.transpose(0, 1, 3, 2, 4)            # [B, npp, ps, H, D]
+        bsz, _, _, h, d = x.shape
+        return x.reshape(bsz, npp * ps, h, d)[:, :max_len]
+
+    k = one(cache.k_codes, cache.k_scale, cache.k_min)
+    v = one(cache.v_codes, cache.v_scale, cache.v_min)
+    return k, v

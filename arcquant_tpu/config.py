@@ -38,6 +38,9 @@ class QuantConfig:
     kv_bits: int = 4
     # Pallas kernel path vs pure-jnp fake-quant path.
     use_kernels: bool = True
+    # Packed weight storage: "w8" (i8 codes, fastest decode) or
+    # "w4" (nibble-packed, max compression). Same NVFP4 numerics.
+    weight_fmt: str = "w8"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -1,46 +1,50 @@
-"""Fused NVFP4 dequant + GEMM Pallas kernel — the heart of the
+"""Fused NVFP4 dequant + GEMM Pallas kernels — the heart of the
 framework.
 
 TPU-native replacement for the reference's CUTLASS SM120 block-scaled
 tensor-op GEMM (kernels/src/nvfp4.cu:10-121). The TPU MXU has no FP4
-tensor ops, so the win is *HBM bandwidth*: weights stream at 4.5
-bits/element (packed e2m1 codes + 1 fp8 scale per 16) instead of 16,
-are decoded to bf16 on the VPU inside the k-loop, and feed the MXU as
+tensor ops, so the win is *HBM bandwidth*: weights stream compressed,
+are decoded on the VPU inside the k-loop, and feed the MXU as
 bf16×bf16→f32. At decode shapes (small M) the GEMM is purely
-weight-bandwidth-bound, so the ideal speedup over a bf16 GEMM is
-16/4.5 ≈ 3.5× (SURVEY.md §2.2).
+weight-bandwidth/decode-bound.
 
-Layout contract (see quant/packing.py):
-  codes  u8  [Kq/2, N]: byte g of column n packs e2m1 codes for
-                        k=2g (low nibble) and k=2g+1 (high nibble)
-  scales fp8 [Kq/16, N] (bitcast to u8 at the call boundary)
-  x      bf16 [M, 2, Kq/2]: deinterleaved qdq activations —
-                        [:,0,:] = even k, [:,1,:] = odd k
+Two storage formats share EXACT NVFP4+ARC numerics (both store the
+same e2m1 codes + ue4m3 group scales; only the byte encoding differs):
 
-The deinterleaved x layout lets the kernel contract low and high
-nibbles as two half-K MXU dots with NO sublane interleave of the
-decoded weights (a pure-layout trick the CUDA reference doesn't need
-because its tensor cores consume packed fp4 directly).
+  w4 ("packed", 4.5 bits/elem) — codes u8 [Kq/2, N], byte g of column
+    n packs e2m1 codes for k=2g (low nibble) / k=2g+1 (high nibble).
+    Decode uses the *magic bitcast*: for an e2m1 code c,
+       f32_bitcast(((c&7) << 22) | ((c&8) << 28)) == e2m1(c) * 2^-126
+    including the subnormal codes (the f32 denormal at e=0 lands
+    exactly on m * 2^-127 == (m*0.5) * 2^-126), so the whole 15-value
+    table decodes with 4 int ops + 1 bitcast + 1 mul — no selects.
+    The 2^126 compensation is split 2^63 (code side) × 2^63 (folded
+    into the group-scale decode) to stay inside the f32 range.
 
-Both e2m1 and ue4m3 are decoded with integer bit arithmetic + bitcast
-(no fp8 hardware dependence):
-  e2m1  (s e e m): e>0 -> (1+m/2)*2^(e-1)  == f32 bits ((e+126)<<23)|(m<<22)
-                   e=0 -> m*0.5 (subnormal)
-  e4m3fn (e e e e m m m, unsigned): e>0 -> (1+m/8)*2^(e-7)
-                   == f32 bits ((e+120)<<23)|(m<<20); e=0 -> m*2^-9
+  w8 ("expanded", 8.5 bits/elem, default) — codes i8 [Kq, N] holding
+    2×e2m1 values exactly (the magnitude set {0,.5,1,1.5,2,3,4,6}
+    doubled is the integer set {0,1,2,3,4,6,8,12}); decode is one
+    hardware convert + one multiply by (group_scale/2). ~1.4× faster
+    than w4 at decode shapes on v5e (VPU-decode-bound), at 2× the
+    weight memory — pick per deployment with QuantConfig.weight_fmt.
+
+Both kernels contract a single stacked [BM, BK] × [BK, BN] MXU dot per
+k-step (small separate dots per nibble were the v0 bottleneck). The
+w4 activation layout is therefore "even ks first, then odd ks"
+(split-halves), matching the stacked [w_even; w_odd] decode order.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant.packing import PackedWeight
+from ..quant.packing import PackedWeight, PackedWeightI8
 
 # None = auto (interpret unless running on TPU); True/False to force.
 _INTERPRET = None
@@ -52,97 +56,152 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Reference bit decoders (tests / debug; the kernels inline variants)
+# ---------------------------------------------------------------------------
+
 def _decode_e2m1_f32(nibble: jax.Array) -> jax.Array:
-    """Decode e2m1 nibbles (i32 values 0..15) to f32 via bit tricks."""
+    """Decode e2m1 nibbles (i32 values 0..15) to f32 via the magic
+    bitcast (see module docstring). The denormal bit pattern the magic
+    relies on for the subnormal codes (±0.5) is flushed to zero by the
+    TPU (and XLA:CPU), so that one case takes an explicit select."""
     mag = nibble & 0x7
-    e = mag >> 1
-    m = mag & 1
-    sign_bit = (nibble & 0x8) << 28          # -> f32 sign bit
-    normal_bits = ((e + 126) << 23) | (m << 22) | sign_bit
-    normal = jax.lax.bitcast_convert_type(normal_bits, jnp.float32)
-    sub = jnp.where(sign_bit != 0, -0.5, 0.5) * m.astype(jnp.float32)
-    return jnp.where(e == 0, sub, normal)
+    bits = (mag << 22) | ((nibble & 0x8) << 28)
+    f = jax.lax.bitcast_convert_type(bits, jnp.float32) * jnp.float32(
+        2.0 ** 126)
+    sgn = 1.0 - ((nibble >> 3) << 1).astype(jnp.float32)
+    return jnp.where(mag < 2, (sgn * 0.5) * mag.astype(jnp.float32), f)
 
 
-def _decode_ue4m3_f32(byte: jax.Array) -> jax.Array:
-    """Decode unsigned e4m3fn bytes (i32 values 0..255) to f32."""
+def _decode_ue4m3_f32(byte: jax.Array, exp_offset: int = 0) -> jax.Array:
+    """Decode unsigned e4m3fn bytes (i32 values 0..255) to
+    f32 * 2^exp_offset."""
     e = (byte >> 3) & 0xF
     m = byte & 0x7
-    normal_bits = ((e + 120) << 23) | (m << 20)
+    normal_bits = ((e + 120 + exp_offset) << 23) | (m << 20)
     normal = jax.lax.bitcast_convert_type(normal_bits, jnp.float32)
-    sub = m.astype(jnp.float32) * (2.0 ** -9)
+    sub = m.astype(jnp.float32) * (2.0 ** (exp_offset - 9))
     return jnp.where(e == 0, sub, normal)
 
 
-def _gemm_kernel(gs_ref, x_ref, codes_ref, scales_ref, o_ref, acc_ref,
-                 *, n_k: int, out_dtype):
-    """One (bm, bn) output tile; k-dim is the innermost grid axis and
-    accumulates into the f32 VMEM scratch."""
+def _expand_groups(s: jax.Array, rep: int) -> jax.Array:
+    """[G, BN] -> [G*rep, BN] sublane-repeat (per-16 scale expand)."""
+    g, bn = s.shape
+    return jnp.broadcast_to(s[:, None, :], (g, rep, bn)).reshape(
+        g * rep, bn)
+
+
+# ---------------------------------------------------------------------------
+# w4 kernel (packed nibbles, magic decode)
+# ---------------------------------------------------------------------------
+
+def _gemm_w4_kernel(gs_ref, xe_ref, xo_ref, codes_ref, scales_ref,
+                    bias_ref, o_ref, acc_ref, *, n_k: int, out_dtype,
+                    has_bias: bool):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = codes_ref[:].astype(jnp.int32)          # [bk2, bn]
-    w_even = _decode_e2m1_f32(codes & 0xF)
-    w_odd = _decode_e2m1_f32(codes >> 4)
+    c = codes_ref[:].astype(jnp.int32)               # [bk2, bn]
 
-    s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32))  # [bk2/8, bn]
-    # group g covers bytes 8g..8g+7 (16 original k), same for both
-    # nibbles; element-repeat rows 8x via broadcast+reshape
-    g, bn = s.shape
-    s = jnp.broadcast_to(s[:, None, :], (g, 8, bn)).reshape(g * 8, bn)
+    def dec(nib):
+        # e2m1 * 2^-63 (the other 2^63 rides the group scale); the
+        # subnormal codes (±0.5) need a select — TPU flushes denormals
+        mag = nib & 0x7
+        bits = (mag << 22) | ((nib & 0x8) << 28)
+        f = jax.lax.bitcast_convert_type(bits, jnp.float32) * (2.0 ** 63)
+        sgn = 1.0 - ((nib >> 3) << 1).astype(jnp.float32)
+        # 0.5 * 2^-63 == 2^-64 is a normal f32; the product with
+        # mag ∈ {0,1} stays normal (or true zero)
+        return jnp.where(mag < 2,
+                         (sgn * (2.0 ** -64)) * mag.astype(jnp.float32),
+                         f)
 
-    w_even = (w_even * s).astype(jnp.bfloat16)
-    w_odd = (w_odd * s).astype(jnp.bfloat16)
-
-    x_even = x_ref[:, 0, :]
-    x_odd = x_ref[:, 1, :]
-    acc_ref[:] += (
-        jnp.dot(x_even, w_even, preferred_element_type=jnp.float32)
-        + jnp.dot(x_odd, w_odd, preferred_element_type=jnp.float32))
+    w_even = dec(c & 0xF)
+    w_odd = dec(c >> 4)
+    # group scale decoded with the 2^63 compensation folded in
+    s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32), exp_offset=63)
+    s = _expand_groups(s, 8)                         # byte-rows per group
+    w = jnp.concatenate([w_even * s, w_odd * s],
+                        axis=0).astype(jnp.bfloat16)  # [bk, bn]
+    xx = jnp.concatenate([xe_ref[:], xo_ref[:]], axis=1)  # [bm, bk]
+    acc_ref[:] += jnp.dot(xx, w, preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_k - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * gs_ref[0, 0]).astype(out_dtype)
+        y = acc_ref[:] * gs_ref[0, 0]
+        if has_bias:
+            y = y + bias_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(out_dtype)
 
+
+# ---------------------------------------------------------------------------
+# w8 kernel (i8 mag2 codes)
+# ---------------------------------------------------------------------------
+
+def _gemm_w8_kernel(gs_ref, x_ref, codes_ref, scales_ref, bias_ref,
+                    o_ref, acc_ref, *, n_k: int, out_dtype,
+                    has_bias: bool):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = codes_ref[:].astype(jnp.float32)             # [bk, bn]
+    # scale/2 folds the mag2 doubling back out
+    s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32)) * 0.5
+    w = (w * _expand_groups(s, 16)).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        y = acc_ref[:] * gs_ref[0, 0]
+        if has_bias:
+            y = y + bias_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side call
+# ---------------------------------------------------------------------------
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def deinterleave_x(xa: jax.Array) -> jax.Array:
-    """[M, Kq] -> [M, 2, Kq/2] (even k, odd k)."""
-    return jnp.stack([xa[:, 0::2], xa[:, 1::2]], axis=1)
+def _pick_block(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return dim
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk",
-                                             "interpret"))
-def _gemm_call(x_de, codes, scales_u8, gs, *, out_dtype, bm, bn, bk,
-               interpret):
-    m = x_de.shape[0]
-    kq2 = x_de.shape[2]
+def split_even_odd(xa: jax.Array) -> jax.Array:
+    """[M, Kq] -> [M, Kq] with even-k columns first, then odd-k
+    (the w4 kernel's stacked activation layout)."""
+    return jnp.concatenate([xa[:, 0::2], xa[:, 1::2]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "out_dtype", "bm", "bn", "bk", "has_bias", "interpret"))
+def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
+               bk, has_bias, interpret):
+    m = x.shape[0]
     n = codes.shape[1]
-    n_k = pl.cdiv(2 * kq2, bk)
-    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), n_k)
+    kq = codes.shape[0] * (2 if fmt == "w4" else 1)
+    n_k = kq // bk
+    grid = (m // bm, n // bn, n_k)
     gs2 = gs.reshape(1, 1).astype(jnp.float32)
-    kernel = functools.partial(_gemm_kernel, n_k=n_k, out_dtype=out_dtype)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, 2, bk // 2),
-                         lambda i, j, k: (i, 0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bn),
-                         lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 16, bn),
-                         lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-        ],
+    bias2 = (bias.reshape(1, n).astype(jnp.float32) if has_bias
+             else jnp.zeros((1, 1), jnp.float32))
+    bias_spec = pl.BlockSpec(
+        (1, bn) if has_bias else (1, 1),
+        (lambda i, j, k: (0, j)) if has_bias else (lambda i, j, k: (0, 0)),
+        memory_space=pltpu.VMEM)
+    common = dict(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -150,60 +209,104 @@ def _gemm_call(x_de, codes, scales_u8, gs, *, out_dtype, bm, bn, bk,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * 2 * kq2,
-            bytes_accessed=(kq2 * n) + (2 * kq2 // 16 * n)
-            + m * 2 * kq2 * 2 + m * n * 2,
+            flops=2 * m * n * kq,
+            bytes_accessed=codes.size + scales_u8.size + x.size * 2
+            + m * n * 2,
             transcendentals=0),
         interpret=interpret,
-    )(gs2, x_de, codes, scales_u8)
+    )
+    if fmt == "w4":
+        kernel = functools.partial(_gemm_w4_kernel, n_k=n_k,
+                                   out_dtype=out_dtype, has_bias=has_bias)
+        k2 = kq // 2
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, bk // 2), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, bk // 2),
+                             lambda i, j, k, k2=k2, bk=bk:
+                             (i, k2 // (bk // 2) + k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk // 16, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                bias_spec,
+            ],
+            **common,
+        )(gs2, x, x, codes, scales_u8, bias2)
+    kernel = functools.partial(_gemm_w8_kernel, n_k=n_k,
+                               out_dtype=out_dtype, has_bias=has_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 16, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            bias_spec,
+        ],
+        **common,
+    )(gs2, x, codes, scales_u8, bias2)
 
 
-def gemm_dequant(xa: jax.Array, pw: PackedWeight, gx: jax.Array,
+def gemm_dequant(xa: jax.Array,
+                 pw: Union[PackedWeight, PackedWeightI8],
+                 gx: jax.Array,
                  out_dtype=jnp.bfloat16,
-                 bm: int = 0, bn: int = 0, bk: int = 512) -> jax.Array:
+                 bm: int = 0, bn: int = 0, bk: int = 0) -> jax.Array:
     """y[M, N] = (xa @ dequant(pw).T) * (gx * pw.global_scale) + bias.
 
     Args:
       xa: [M, Kq] quantize-dequantized activations in scaled units
-          (bf16/f32), Kq == pw.kq (caller pads; see quantize_x_arc), or
-          pre-deinterleaved [M, 2, Kq/2].
-      pw: packed weight (codes/scales K-major).
+          (bf16/f32), Kq == pw.kq (caller pads; see quantize_x_arc),
+          in NATURAL k order (the w4 even/odd split happens here).
+      pw: packed weight (PackedWeight = w4, PackedWeightI8 = w8).
       gx: activation global scale (f32 scalar).
     """
-    if xa.ndim == 2:
-        x_de = deinterleave_x(xa.astype(jnp.bfloat16))
-    else:
-        x_de = xa.astype(jnp.bfloat16)
-    m = x_de.shape[0]
-    n = pw.n
+    fmt = "w8" if isinstance(pw, PackedWeightI8) else "w4"
+    m = xa.shape[0]
+    kq, n = pw.kq, pw.n
+    if fmt == "w4":
+        xa = split_even_odd(xa)
+    x = xa.astype(jnp.bfloat16)
+    bk = bk or _pick_block(kq, (2048, 1024, 512, 256))
+    bn = bn or _pick_block(n, (512, 256, 128))
     if bm == 0:
-        bm = min(_round_up(m, 16), 256)
-    if bn == 0:
-        bn = 256 if n % 256 == 0 else 128
+        bm = min(_round_up(m, 16), 512)
     m_pad = _round_up(m, bm)
     if m_pad != m:
-        x_de = jnp.pad(x_de, ((0, m_pad - m), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     scales_u8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
     gs = (gx.astype(jnp.float32) * pw.global_scale.astype(jnp.float32))
-    y = _gemm_call(x_de, pw.codes, scales_u8, gs,
-                   out_dtype=jnp.dtype(out_dtype).name, bm=bm, bn=bn,
-                   bk=bk, interpret=_use_interpret())
-    y = y[:m] if m_pad != m else y
-    if pw.bias is not None:
-        y = (y.astype(jnp.float32) + pw.bias.astype(jnp.float32)
-             ).astype(out_dtype)
-    return y
+    y = _gemm_call(x, pw.codes, scales_u8, gs,
+                   pw.bias if pw.bias is not None else None,
+                   fmt=fmt, out_dtype=jnp.dtype(out_dtype).name,
+                   bm=bm, bn=bn, bk=bk,
+                   has_bias=pw.bias is not None,
+                   interpret=_use_interpret())
+    return y[:m] if m_pad != m else y
 
 
-def dequantize_weight_kernel(pw: PackedWeight, dtype=jnp.bfloat16
-                             ) -> jax.Array:
+def dequantize_weight_kernel(pw: Union[PackedWeight, PackedWeightI8],
+                             dtype=jnp.bfloat16) -> jax.Array:
     """Decode a full packed weight to [Kq, N] (debug/testing path using
-    the same bit-arithmetic decoders as the kernel)."""
+    the same bit-arithmetic decoders as the kernels)."""
+    s_u8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+    s = _decode_ue4m3_f32(s_u8.astype(jnp.int32))
+    if isinstance(pw, PackedWeightI8):
+        w = pw.codes.astype(jnp.float32) * jnp.repeat(s * 0.5, 16, axis=0)
+        return w.astype(dtype)
     codes = pw.codes.astype(jnp.int32)
     w_even = _decode_e2m1_f32(codes & 0xF)
     w_odd = _decode_e2m1_f32(codes >> 4)
-    s_u8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
-    s = _decode_ue4m3_f32(s_u8.astype(jnp.int32))
     s = jnp.repeat(s, 8, axis=0)
     kq2, n = codes.shape
     out = jnp.zeros((2 * kq2, n), jnp.float32)

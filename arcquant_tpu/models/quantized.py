@@ -79,9 +79,11 @@ def _quantize_linear_fake(p: Params, calib: SiteCalib,
     return out
 
 
-def _quantize_linear_packed(p: Params, calib: SiteCalib) -> packing.PackedWeight:
+def _quantize_linear_packed(p: Params, calib: SiteCalib,
+                            fmt: str = "w8"):
     return packing.pack_weight_arc(p["w"], calib.reorder_index,
-                                   calib.select_num, bias=p.get("b"))
+                                   calib.select_num, bias=p.get("b"),
+                                   fmt=fmt)
 
 
 def quantize_layer_params(layer_p: Params, layer_calib: Dict[str, SiteCalib],
@@ -94,7 +96,8 @@ def quantize_layer_params(layer_p: Params, layer_calib: Dict[str, SiteCalib],
         if qcfg.quant_type == "BF16":
             out[proj] = layer_p[proj]
         elif qcfg.use_kernels and qcfg.quant_type == "NVFP4":
-            out[proj] = _quantize_linear_packed(layer_p[proj], calib)
+            out[proj] = _quantize_linear_packed(layer_p[proj], calib,
+                                                qcfg.weight_fmt)
         else:
             out[proj] = _quantize_linear_fake(layer_p[proj], calib,
                                               qcfg.quant_type)
@@ -130,7 +133,7 @@ def _act_quantize(x2d: jax.Array, calib: SiteCalib, qcfg: QuantConfig):
 def _q_linear(qp, xa: jax.Array, gx: jax.Array, qcfg: QuantConfig,
               out_dtype) -> jax.Array:
     """Apply a quantized linear to an already-quantized activation."""
-    if isinstance(qp, packing.PackedWeight):
+    if isinstance(qp, (packing.PackedWeight, packing.PackedWeightI8)):
         from ..kernels import gemm as gk
         return gk.gemm_dequant(xa, qp, gx, out_dtype=out_dtype)
     if "w_aug" in qp:

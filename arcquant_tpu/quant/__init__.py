@@ -10,7 +10,7 @@ from .arc import (
     arc_quantize_x_qdq, arc_quantize_w_qdq, arc_linear_fake, average_bits,
 )
 from .packing import (
-    PackedWeight, pack_weight_arc, dequantize_weight,
+    PackedWeight, PackedWeightI8, pack_weight_arc, dequantize_weight,
     pack_nibbles, unpack_nibbles, quantize_nvfp4_groups,
-    dequantize_nvfp4_groups, pad_kq,
+    dequantize_nvfp4_groups, pad_kq, codes_to_mag2_i8,
 )

@@ -39,7 +39,8 @@ K_PAD_MULTIPLE = 512
 
 
 class PackedWeight(NamedTuple):
-    """A quantized+packed linear weight (pytree of arrays)."""
+    """A quantized+packed linear weight, w4 format: nibble-packed e2m1
+    codes, 4.5 bits/element (a pytree of arrays)."""
     codes: jax.Array        # uint8 [Kq//2, N]
     scales: jax.Array       # float8_e4m3fn [Kq//16, N]
     global_scale: jax.Array  # f32 scalar
@@ -52,6 +53,37 @@ class PackedWeight(NamedTuple):
     @property
     def n(self) -> int:
         return self.codes.shape[1]
+
+
+class PackedWeightI8(NamedTuple):
+    """w8 format: each element stores 2×e2m1 value as a signed int8
+    from {0,±1,±2,±3,±4,±6,±8,±12} (8.5 bits/element). Identical
+    NVFP4 numerics to w4 — the doubling cancels against scale/2 in the
+    GEMM — but decode is a single hardware convert, ~1.4× faster at
+    decode shapes on v5e (see kernels/gemm.py module docstring)."""
+    codes: jax.Array        # int8 [Kq, N]
+    scales: jax.Array       # float8_e4m3fn [Kq//16, N]
+    global_scale: jax.Array  # f32 scalar
+    bias: Optional[jax.Array]  # [N] or None
+
+    @property
+    def kq(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.codes.shape[1]
+
+
+# mag2 integer table: 2 × e2m1 magnitude per 3-bit magnitude code
+_MAG2_TABLE = (0, 1, 2, 3, 4, 6, 8, 12)
+
+
+def codes_to_mag2_i8(codes: jax.Array) -> jax.Array:
+    """e2m1 codes (u8 0..15) -> signed mag2 int8 in {0,±1,..,±12}."""
+    table = jnp.asarray(_MAG2_TABLE, jnp.int32)
+    mag = table[(codes & 0x7).astype(jnp.int32)]
+    return jnp.where((codes & 0x8) != 0, -mag, mag).astype(jnp.int8)
 
 
 def pack_nibbles(codes: jax.Array, axis: int = -1) -> jax.Array:
@@ -113,7 +145,8 @@ def pad_kq(k: int, select_num: int,
 def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
                     select_num: int,
                     bias: jax.Array | None = None,
-                    pad_multiple: int = K_PAD_MULTIPLE) -> PackedWeight:
+                    pad_multiple: int = K_PAD_MULTIPLE,
+                    fmt: str = "w8"):
     """Quantize+pack an [N, K] weight with ARC column duplication into
     the K-major TPU layout (one-time, at load; reference analog
     qLinearLayer.py:55 NVFP4_reorder_quantize_w).
@@ -121,6 +154,9 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
     Numerics match quant.arc.arc_quantize_w_qdq exactly: outlier
     columns (the last `select_num` entries of reorder_index) are
     re-quantized duplicates appended after the K plain columns.
+
+    fmt: "w4" (nibble-packed, 4.5 b/elem) or "w8" (i8 mag2 codes,
+    8.5 b/elem, faster decode — see kernels/gemm.py).
     """
     n, k = w.shape
     gs = N.nvfp4_global_scale(w)
@@ -139,6 +175,13 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
         smask = (jnp.arange(kq // 16) < ngroups_real)[None, :]
         scales = jnp.where(smask, scales.astype(jnp.float32),
                            0.0).astype(jnp.float8_e4m3fn)
+    if fmt == "w8":
+        return PackedWeightI8(codes=codes_to_mag2_i8(codes).T,  # [Kq, N]
+                              scales=scales.T,
+                              global_scale=gs,
+                              bias=bias)
+    if fmt != "w4":
+        raise ValueError(f"unknown weight format {fmt!r}")
     packed = pack_nibbles(codes, axis=-1)          # [N, Kq//2]
     return PackedWeight(codes=packed.T,             # [Kq//2, N]
                         scales=scales.T,            # [Kq//16, N]
@@ -146,11 +189,17 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
                         bias=bias)
 
 
-def dequantize_weight(pw: PackedWeight, k: int, select_num: int,
+def dequantize_weight(pw, k: int, select_num: int,
                       dtype=jnp.float32) -> jax.Array:
     """Reconstruct the augmented qdq weight [N, K+KE] in scaled units
     (golden path for parity tests; the global scale is NOT folded in,
-    matching arc_quantize_w_qdq)."""
+    matching arc_quantize_w_qdq). Accepts both w4 and w8 packings."""
+    if isinstance(pw, PackedWeightI8):
+        s = pw.scales.T.astype(jnp.float32)         # [N, Kq//16]
+        vals = pw.codes.T.astype(jnp.float32) * 0.5  # [N, Kq]
+        n, kq = vals.shape
+        g = vals.reshape(n, kq // 16, 16) * s[..., None]
+        return g.reshape(n, kq)[:, :k + select_num].astype(dtype)
     codes = unpack_nibbles(pw.codes.T, axis=-1)     # [N, Kq]
     full = dequantize_nvfp4_groups(codes, pw.scales.T, dtype)
     return full[:, :k + select_num]

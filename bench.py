@@ -6,9 +6,19 @@ Prints ONE JSON line:
 
 Protocol mirrors the reference's kernel latency harness
 (kernels/bench.py:13-43: decode-shape GEMM, quantize excluded from
-timing) on the target hardware. vs_baseline is the speedup over a
-plain bf16 jnp.dot with the same logical shape — the quantized
-kernel's reason to exist (weights stream at 4.5 bits/elem vs 16).
+timing). vs_baseline is the speedup over a plain bf16 jnp.dot with the
+same logical shape.
+
+Timing notes (hard-won on this environment):
+  - block_until_ready does NOT wait for execution through the axon
+    TPU tunnel; only a host fetch of a value does, and one fetch
+    round-trip costs ~32 ms. Each measurement therefore runs a long
+    serially-dependent scan inside ONE jit and is timed as the
+    difference between two scan lengths, which cancels the constant
+    dispatch+fetch overhead.
+  - Each scan step's input depends on the previous step's FULL output
+    (sum-coupled); consuming a single element lets XLA slice the
+    whole GEMM away (it can, and does).
 """
 
 import json
@@ -18,31 +28,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench(fn, *args, warmup=3, iters=20, inner=32):
-    """Per-op latency with dispatch overhead amortized: `inner` ops are
-    chained inside one jit via scan over distinct inputs (so the weight
-    stream — the quantity under test — re-runs every iteration)."""
-    import jax.numpy as jnp
+def bench_op(f, x0, *rest, n1=64, n2=576):
+    """Per-op latency via two-length scan difference (see module
+    docstring)."""
+    def mkloop(length):
+        @jax.jit
+        def loop(x, *rest):
+            def body(xc, _):
+                y = f(xc, *rest)
+                d = (jnp.sum(y.astype(jnp.float32)) * 1e-18).astype(
+                    xc.dtype)
+                return xc + d, None
+            xo, _ = jax.lax.scan(body, x, None, length=length)
+            return xo
+        return loop
 
-    x0 = args[0]
-    xs = jnp.stack([x0 + i * 1e-6 for i in range(inner)])
-    rest = args[1:]
+    l1, l2 = mkloop(n1), mkloop(n2)
+    float(jnp.sum(l1(x0, *rest)))   # compile + warm
+    float(jnp.sum(l2(x0, *rest)))
 
-    @jax.jit
-    def loop(xs, *rest):
-        def body(carry, x):
-            y = fn(x, *rest)
-            return carry + y[0, 0].astype(jnp.float32), None
-        out, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return out
+    def t(loop):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(loop(x0, *rest)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    for _ in range(warmup):
-        jax.block_until_ready(loop(xs, *rest))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = loop(xs, *rest)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / (iters * inner)
+    return (t(l2) - t(l1)) / (n2 - n1)
 
 
 def main():
@@ -50,27 +63,28 @@ def main():
     from arcquant_tpu.kernels import gemm, quantize as qk
 
     on_tpu = jax.default_backend() == "tpu"
-    # Decode-bound GEMM shape (qwen2.5-7b o_proj-scale): M small,
-    # N=K=4096 (reference kernels/bench.py uses N=K=4096).
+    # Decode-bound GEMM shape: M small, N=K=4096 (reference
+    # kernels/bench.py uses N=K=4096).
     m, n, k = (32, 4096, 4096) if on_tpu else (8, 256, 512)
     ke = 0
+    n1, n2 = (64, 576) if on_tpu else (2, 6)
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (m, k), jnp.bfloat16)
-    w = jax.random.normal(jax.random.PRNGKey(1), (n, k), jnp.bfloat16) * 0.02
+    w = jax.random.normal(jax.random.PRNGKey(1), (n, k),
+                          jnp.bfloat16) * 0.02
     ridx = jnp.arange(k, dtype=jnp.int32)
 
-    pw = packing.pack_weight_arc(w, ridx, ke)
+    pw = packing.pack_weight_arc(w, ridx, ke, fmt="w8")
     xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
-    x_de = gemm.deinterleave_x(xa.astype(jnp.bfloat16))
+    xa = xa.astype(jnp.bfloat16)
+    wT = w.T.copy()
 
-    quant_fn = jax.jit(lambda xd, gs: gemm.gemm_dequant(xd, pw, gs))
-    base_fn = jax.jit(
-        lambda a, b: jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-        .astype(jnp.bfloat16))
-
-    t_quant = _bench(quant_fn, x_de, gx)
-    t_base = _bench(base_fn, x, w)
+    t_quant = bench_op(
+        lambda xx: gemm.gemm_dequant(xx, pw, gx), xa, n1=n1, n2=n2)
+    t_base = bench_op(
+        lambda xx: jnp.dot(xx, wT, preferred_element_type=jnp.float32)
+        .astype(jnp.bfloat16), x, n1=n1, n2=n2)
 
     speedup = t_base / t_quant
     print(json.dumps({

@@ -64,18 +64,19 @@ class TestQuantizeX:
 
 
 class TestGemmDequant:
+    @pytest.mark.parametrize("fmt", ["w4", "w8"])
     @pytest.mark.parametrize("m,n,k,ke", [
         (4, 256, 512, 0),       # decode shape
         (24, 256, 512, 128),    # ragged M with ARC
         (128, 512, 1024, 64),   # prefill-ish
     ])
-    def test_matches_golden_linear(self, m, n, k, ke):
+    def test_matches_golden_linear(self, m, n, k, ke, fmt):
         key = jax.random.PRNGKey(m + n + k + ke)
         x = synthetic_outlier_x(key, m, k)
         w = (jax.random.normal(jax.random.PRNGKey(5), (n, k)) * 0.05)
         ridx = jnp.argsort(jnp.max(jnp.abs(w), axis=0)).astype(jnp.int32)
 
-        pw = packing.pack_weight_arc(w, ridx, ke)
+        pw = packing.pack_weight_arc(w, ridx, ke, fmt=fmt)
         xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
         y = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
 
@@ -84,13 +85,24 @@ class TestGemmDequant:
         np.testing.assert_allclose(np.asarray(y), np.asarray(golden),
                                    rtol=2e-2, atol=2e-2)
 
-    def test_bias(self):
+    def test_w4_w8_same_numerics(self):
+        """The two storage formats must decode to identical values."""
+        w = jax.random.normal(jax.random.PRNGKey(12), (64, 512)) * 0.1
+        ridx = jnp.arange(512, dtype=jnp.int32)
+        a = packing.dequantize_weight(
+            packing.pack_weight_arc(w, ridx, 64, fmt="w4"), 512, 64)
+        b = packing.dequantize_weight(
+            packing.pack_weight_arc(w, ridx, 64, fmt="w8"), 512, 64)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("fmt", ["w4", "w8"])
+    def test_bias(self, fmt):
         m, n, k = 8, 128, 256
         x = jax.random.normal(jax.random.PRNGKey(6), (m, k))
         w = jax.random.normal(jax.random.PRNGKey(7), (n, k)) * 0.1
         b = jax.random.normal(jax.random.PRNGKey(8), (n,))
         ridx = jnp.arange(k, dtype=jnp.int32)
-        pw = packing.pack_weight_arc(w, ridx, 0, bias=b)
+        pw = packing.pack_weight_arc(w, ridx, 0, bias=b, fmt=fmt)
         xa, gx = qk.quantize_x_arc(x, ridx, 0, kq=pw.kq)
         y = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
         golden = arc.arc_linear_fake(x, w, ridx, 0, bias=b)
@@ -112,10 +124,11 @@ class TestGemmDequant:
             mses.append(float(jnp.mean((y - y_true) ** 2)))
         assert mses[2] < mses[1] < mses[0], mses
 
-    def test_dequantize_weight_kernel_matches_host(self):
+    @pytest.mark.parametrize("fmt", ["w4", "w8"])
+    def test_dequantize_weight_kernel_matches_host(self, fmt):
         w = jax.random.normal(jax.random.PRNGKey(11), (64, 512))
         ridx = jnp.arange(512, dtype=jnp.int32)
-        pw = packing.pack_weight_arc(w, ridx, 64)
+        pw = packing.pack_weight_arc(w, ridx, 64, fmt=fmt)
         full = gemm.dequantize_weight_kernel(pw, jnp.float32)
         host = packing.dequantize_weight(pw, 512, 64)
         np.testing.assert_allclose(np.asarray(full.T[:, :512 + 64]),
