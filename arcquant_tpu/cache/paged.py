@@ -65,9 +65,17 @@ def init_cache(cfg: ModelConfig, num_pages: int,
     """Pre-allocate the page pool (reference kv_cache.py:146-159)."""
     l, h, d = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     assert d % 2 == 0
-    codes = jnp.zeros((l, num_pages, h, page_size, d // 2), jnp.uint8)
-    params = jnp.zeros((l, num_pages, h, page_size), jnp.float32)
-    return PagedKVCache(codes, params, params, codes, params, params)
+
+    # distinct arrays: the engine donates the cache pytree, and XLA
+    # rejects donating one buffer twice
+    def codes():
+        return jnp.zeros((l, num_pages, h, page_size, d // 2), jnp.uint8)
+
+    def params():
+        return jnp.zeros((l, num_pages, h, page_size), jnp.float32)
+
+    return PagedKVCache(codes(), params(), params(),
+                        codes(), params(), params())
 
 
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:

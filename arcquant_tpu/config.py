@@ -41,6 +41,11 @@ class QuantConfig:
     # Packed weight storage: "w8" (i8 codes, fastest decode) or
     # "w4" (nibble-packed, max compression). Same NVFP4 numerics.
     weight_fmt: str = "w8"
+    # Activation global-scale granularity: "tensor" (reference parity,
+    # qLlamaLayer.py:73-77) or "row" (per-token scales — finer, and
+    # sequences in a batch quantize independently; the serving engine
+    # default).
+    act_scale: str = "tensor"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,314 @@
+"""Inference engine: W4A4 quantized decoder serving on TPU.
+
+TPU re-design of the reference's perf model + benchmark stack
+(benchmarks/modeling_arc.py + benchmark_e2e_arc.py), upgraded from a
+timing harness into a real serving engine:
+
+  - prefill: fused rmsnorm+quantize → packed dequant-GEMMs → RoPE →
+    Pallas flash attention over the (bf16) current chunk, while the
+    post-RoPE K / V stream is quantized into the paged int4 pool
+    (the reference prefills through bf16 flashinfer and *separately*
+    maintains the latent i4 pool it never wires up — here there is one
+    path, SURVEY.md §7 delta 5).
+  - decode: one jitted step: quantize-append the new token's K/V, then
+    the Pallas paged int4 flash-decode kernel (replaces
+    batch_decode_i4, kernels/.../decode.cuh:492-689).
+  - the KV cache pytree is donated through both steps, so pages update
+    in place (the reference relies on mutable CUDA tensors; XLA gets
+    the same effect from buffer donation).
+
+Everything jits once per (batch, prefill_len) shape; no Python in the
+token loop except the host-side page allocator (scheduler.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, QuantConfig, KV_PAGE_SIZE
+from ..models import llama, quantized
+from ..cache import paged
+from ..kernels.attention import flash_attention
+from ..kernels.paged_decode import paged_decode
+from ..kernels import quantize as qk
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    max_batch: int = 8
+    max_seq_len: int = 2048
+    page_size: int = KV_PAGE_SIZE
+    num_pages: int = 0          # 0 = auto: max_batch * max_seq pages
+
+    @property
+    def pages_per_seq(self) -> int:
+        return -(-self.max_seq_len // self.page_size)
+
+    def total_pages(self) -> int:
+        if self.num_pages:
+            return self.num_pages
+        # +1 reserved sink page (page id 0 stays unused as scatter sink)
+        return self.max_batch * self.pages_per_seq + 1
+
+
+# ---------------------------------------------------------------------------
+# Layer forwards shared by prefill and decode
+# ---------------------------------------------------------------------------
+
+def _attn_common(cfg, p, x2, layer_calib, qcfg, b, t,
+                 dtype=jnp.bfloat16):
+    """Quantize + q/k/v projections, reshaped to heads."""
+    xa, gx = quantized._act_quantize(x2, layer_calib["attn_in"], qcfg)
+    q = quantized._q_linear(p["q"], xa, gx, qcfg, dtype).reshape(
+        b, t, cfg.num_heads, cfg.head_dim)
+    k = quantized._q_linear(p["k"], xa, gx, qcfg, dtype).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = quantized._q_linear(p["v"], xa, gx, qcfg, dtype).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _o_proj(cfg, p, attn, layer_calib, qcfg, b, t,
+            dtype=jnp.bfloat16):
+    attn2 = attn.reshape(b * t, cfg.q_size)
+    oa, go = quantized._act_quantize(attn2, layer_calib["o_in"], qcfg)
+    return quantized._q_linear(p["o"], oa, go, qcfg,
+                               dtype).reshape(b, t, -1)
+
+
+def _mlp(cfg, p, x, layer_calib, qcfg):
+    b, t, d = x.shape
+    dtype = x.dtype
+    x2 = x.reshape(b * t, d)
+    xa, gx = quantized._act_quantize(x2, layer_calib["mlp_in"], qcfg)
+    gate = quantized._q_linear(p["gate"], xa, gx, qcfg, jnp.float32)
+    up = quantized._q_linear(p["up"], xa, gx, qcfg, jnp.float32)
+    inter = (jax.nn.silu(gate) * up).astype(dtype)
+    ia, gi = quantized._act_quantize(inter, layer_calib["down_in"], qcfg)
+    return quantized._q_linear(p["down"], ia, gi, qcfg,
+                               dtype).reshape(b, t, d)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class InferenceEngine:
+    """Quantized decoder engine over a paged int4 KV cache.
+
+    Usage:
+      eng = InferenceEngine(cfg, params, calib, qcfg, ecfg)
+      state = eng.new_state()
+      logits, state = eng.prefill(state, tokens, lens, slot_ids)
+      logits, state = eng.decode_step(state, tokens, active_mask)
+    """
+
+    def __init__(self, cfg: ModelConfig, params, calib, qcfg: QuantConfig,
+                 ecfg: EngineConfig, quantize_params: bool = True):
+        self.cfg = cfg
+        self.qcfg = qcfg
+        self.ecfg = ecfg
+        self.calib = calib
+        if quantize_params:
+            self.qparams = quantized.quantize_model_params(
+                cfg, params, calib, qcfg)
+        else:
+            self.qparams = params
+        self._prefill_jit: Dict[Tuple[int, int], Any] = {}
+        self._decode_jit = None
+
+    @classmethod
+    def dummy(cls, cfg: ModelConfig, calib, qcfg: QuantConfig,
+              ecfg: EngineConfig, seed: int = 0,
+              dtype=jnp.bfloat16) -> "InferenceEngine":
+        """Build an engine with random ("dummy") weights, quantizing
+        layer-by-layer so the full bf16 model never materializes
+        (reference analog: modeling_arc.py dummy-weight perf model,
+        B=0/SFB=127 — here the weights are real random values so the
+        GEMMs exercise realistic code/scale distributions)."""
+        keys = jax.random.split(jax.random.PRNGKey(seed),
+                                cfg.num_layers + 2)
+        qlayers = []
+        for i in range(cfg.num_layers):
+            lp = llama.init_layer_params(cfg, keys[i + 1], dtype)
+            qlp = quantized.quantize_layer_params(lp, calib[i], qcfg)
+            qlp = jax.tree.map(
+                lambda x: jax.block_until_ready(x)
+                if hasattr(x, "block_until_ready") else x, qlp)
+            del lp
+            qlayers.append(qlp)
+        qparams = {
+            "embed": jax.random.normal(
+                keys[0], (cfg.vocab_size, cfg.hidden_size), dtype) * 0.02,
+            "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+            "layers": qlayers,
+        }
+        return cls(cfg, qparams, calib, qcfg, ecfg,
+                   quantize_params=False)
+
+    # -- state ------------------------------------------------------------
+
+    def new_state(self):
+        """(cache, page_table, seq_lens). Page table rows map each
+        batch slot to its pre-assigned page range (static layout:
+        slot i gets pages [1 + i*pps, 1 + (i+1)*pps); page 0 is the
+        masked-scatter sink)."""
+        e = self.ecfg
+        cache = paged.init_cache(self.cfg, e.total_pages(), e.page_size)
+        pps = e.pages_per_seq
+        pt = 1 + (jnp.arange(e.max_batch)[:, None] * pps
+                  + jnp.arange(pps)[None, :]).astype(jnp.int32)
+        seq_lens = jnp.zeros((e.max_batch,), jnp.int32)
+        return (cache, pt, seq_lens)
+
+    # -- forward pieces ----------------------------------------------------
+
+    def _prefill_forward(self, qparams, cache, page_table, tokens, lens):
+        """tokens [B, T] (right-padded), lens [B] true lengths.
+        Returns (last_logits [B, V], cache)."""
+        cfg, qcfg, calib = self.cfg, self.qcfg, self.calib
+        b, t = tokens.shape
+        positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        cos, sin = llama.rope_cos_sin(cfg, positions)
+        x = qparams["embed"][tokens]
+        dt = x.dtype
+        append_pos = jnp.where(positions < lens[:, None], positions, -1)
+
+        for li, p in enumerate(qparams["layers"]):
+            lc = calib[li]
+            h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
+            q, k, v = _attn_common(cfg, p, h.reshape(b * t, -1), lc,
+                                   qcfg, b, t, dt)
+            q, k_r = llama.apply_rope(q, k, cos, sin)
+            cache = paged.append_kv(cache, li, k_r, v, page_table,
+                                    append_pos)
+            attn = flash_attention(q, k_r, v)
+            x = x + _o_proj(cfg, p, attn, lc, qcfg, b, t, dt)
+            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+            x = x + _mlp(cfg, p, h, lc, qcfg)
+
+        x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
+        last = jnp.take_along_axis(
+            x, jnp.maximum(lens - 1, 0)[:, None, None].astype(jnp.int32)
+            .repeat(x.shape[-1], -1), axis=1)[:, 0]
+        head = qparams.get("lm_head", qparams["embed"])
+        logits = jnp.dot(last, head.T, preferred_element_type=jnp.float32)
+        return logits, cache
+
+    def _decode_forward(self, qparams, cache, page_table, seq_lens,
+                        tokens, active):
+        """One token per active slot. tokens [B] i32; active [B] bool.
+        Returns (logits [B, V], cache, new_seq_lens)."""
+        cfg, qcfg, calib = self.cfg, self.qcfg, self.calib
+        b = tokens.shape[0]
+        positions = seq_lens[:, None]                      # [B, 1]
+        cos, sin = llama.rope_cos_sin(cfg, positions)
+        x = qparams["embed"][tokens[:, None]]
+        dt = x.dtype
+        append_pos = jnp.where(active[:, None], positions, -1)
+        new_lens = seq_lens + active.astype(jnp.int32)
+
+        for li, p in enumerate(qparams["layers"]):
+            lc = calib[li]
+            h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
+            q, k, v = _attn_common(cfg, p, h.reshape(b, -1), lc, qcfg,
+                                   b, 1, dt)
+            q, k_r = llama.apply_rope(q, k, cos, sin)
+            cache = paged.append_kv(cache, li, k_r, v, page_table,
+                                    append_pos)
+            attn = paged_decode(q[:, 0], cache, li, page_table,
+                                new_lens)[:, None]
+            x = x + _o_proj(cfg, p, attn.astype(dt), lc, qcfg,
+                            b, 1, dt)
+            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+            x = x + _mlp(cfg, p, h, lc, qcfg)
+
+        x = llama.rms_norm(x[:, 0], qparams["final_norm"], cfg.rms_eps)
+        head = qparams.get("lm_head", qparams["embed"])
+        logits = jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+        return logits, cache, new_lens
+
+    # -- public jitted steps ----------------------------------------------
+
+    def prefill(self, state, tokens, lens):
+        """Prefill the batch. tokens [B, T] right-padded; lens [B]
+        (0 = inactive slot). Returns (last_logits, new_state)."""
+        cache, pt, seq_lens = state
+        key = tuple(tokens.shape)
+        if key not in self._prefill_jit:
+            def f(qparams, cache, pt, tokens, lens):
+                logits, cache = self._prefill_forward(
+                    qparams, cache, pt, tokens, lens)
+                return logits, cache
+            self._prefill_jit[key] = jax.jit(f, donate_argnums=(1,))
+        logits, cache = self._prefill_jit[key](
+            self.qparams, cache, pt, tokens, lens)
+        # joining slots (lens>0) restart their sequence; others keep
+        # their running length
+        lens = lens.astype(jnp.int32)
+        new_lens = jnp.where(lens > 0, lens, seq_lens)
+        return logits, (cache, pt, new_lens)
+
+    def decode_step(self, state, tokens, active):
+        """One decode step for every active slot.
+        tokens [B] i32, active [B] bool. Returns (logits, new_state)."""
+        cache, pt, seq_lens = state
+        if self._decode_jit is None:
+            def f(qparams, cache, pt, seq_lens, tokens, active):
+                return self._decode_forward(qparams, cache, pt,
+                                            seq_lens, tokens, active)
+            self._decode_jit = jax.jit(f, donate_argnums=(1,))
+        logits, cache, new_lens = self._decode_jit(
+            self.qparams, cache, pt, seq_lens, tokens, active)
+        return logits, (cache, pt, new_lens)
+
+    # -- convenience -------------------------------------------------------
+
+    def generate(self, prompts, max_new_tokens: int,
+                 eos_id: Optional[int] = None):
+        """Greedy-decode a batch of prompts (list of 1D int arrays or
+        a [B, T] right-padded array + lens). Returns list of generated
+        token lists. Simple single-batch path; use ContinuousBatcher
+        for multi-request serving."""
+        import numpy as np
+        if isinstance(prompts, (list, tuple)):
+            lens = np.asarray([len(p) for p in prompts], np.int32)
+            t = max(int(lens.max()), 1)
+            toks = np.zeros((len(prompts), t), np.int32)
+            for i, p in enumerate(prompts):
+                toks[i, :len(p)] = np.asarray(p, np.int32)
+        else:
+            toks, lens = np.asarray(prompts), None
+            lens = np.asarray([toks.shape[1]] * toks.shape[0], np.int32)
+        b = toks.shape[0]
+        e = self.ecfg
+        assert b <= e.max_batch
+        if b < e.max_batch:
+            toks = np.pad(toks, ((0, e.max_batch - b), (0, 0)))
+            lens = np.pad(lens, (0, e.max_batch - b))
+        state = self.new_state()
+        logits, state = self.prefill(state, jnp.asarray(toks),
+                                     jnp.asarray(lens))
+        out = [[] for _ in range(b)]
+        done = np.asarray(lens == 0)
+        cur = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(max_new_tokens):
+            cur_np = np.asarray(cur)
+            for i in range(b):
+                if not done[i]:
+                    tok = int(cur_np[i])
+                    if eos_id is not None and tok == eos_id:
+                        done[i] = True
+                    else:
+                        out[i].append(tok)
+            if done.all():
+                break
+            active = jnp.asarray(~done & (np.arange(e.max_batch) < b))
+            logits, state = self.decode_step(state, cur, active)
+            cur = jnp.argmax(logits, -1).astype(jnp.int32)
+        return out

@@ -131,7 +131,7 @@ def _gemm_w4_kernel(gs_ref, xe_ref, xo_ref, codes_ref, scales_ref,
 
     @pl.when(kb == n_k - 1)
     def _():
-        y = acc_ref[:] * gs_ref[0, 0]
+        y = acc_ref[:] * gs_ref[:]          # [bm, bn] * [bm, 1]
         if has_bias:
             y = y + bias_ref[:].astype(jnp.float32)
         o_ref[:] = y.astype(out_dtype)
@@ -158,7 +158,7 @@ def _gemm_w8_kernel(gs_ref, x_ref, codes_ref, scales_ref, bias_ref,
 
     @pl.when(kb == n_k - 1)
     def _():
-        y = acc_ref[:] * gs_ref[0, 0]
+        y = acc_ref[:] * gs_ref[:]          # [bm, bn] * [bm, 1]
         if has_bias:
             y = y + bias_ref[:].astype(jnp.float32)
         o_ref[:] = y.astype(out_dtype)
@@ -194,7 +194,9 @@ def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
     kq = codes.shape[0] * (2 if fmt == "w4" else 1)
     n_k = kq // bk
     grid = (m // bm, n // bn, n_k)
-    gs2 = gs.reshape(1, 1).astype(jnp.float32)
+    gs2 = gs.astype(jnp.float32)                    # [m, 1] per-row
+    gs_spec = pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                           memory_space=pltpu.VMEM)
     bias2 = (bias.reshape(1, n).astype(jnp.float32) if has_bias
              else jnp.zeros((1, 1), jnp.float32))
     bias_spec = pl.BlockSpec(
@@ -244,7 +246,7 @@ def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            gs_spec,
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
@@ -285,7 +287,13 @@ def gemm_dequant(xa: jax.Array,
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     scales_u8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
-    gs = (gx.astype(jnp.float32) * pw.global_scale.astype(jnp.float32))
+    # epilogue scale column [m_pad, 1]: per-row activation scale (or a
+    # broadcast scalar) × the weight's global scale
+    gx = jnp.asarray(gx, jnp.float32)
+    gs = jnp.broadcast_to(gx.reshape(-1, 1), (m, 1)) \
+        * pw.global_scale.astype(jnp.float32)
+    if m_pad != m:
+        gs = jnp.pad(gs, ((0, m_pad - m), (0, 0)))
     y = _gemm_call(x, pw.codes, scales_u8, gs,
                    pw.bias if pw.bias is not None else None,
                    fmt=fmt, out_dtype=jnp.dtype(out_dtype).name,

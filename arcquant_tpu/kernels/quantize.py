@@ -39,7 +39,8 @@ def _nvfp4_qdq_scaled(xs: jax.Array) -> jax.Array:
 
 
 def quantize_x_arc(x: jax.Array, reorder_index: jax.Array,
-                   select_num: int, kq: int | None = None):
+                   select_num: int, kq: int | None = None,
+                   per_row: bool = False):
     """Quantize an activation matrix for the fused dequant-GEMM.
 
     Args:
@@ -54,7 +55,7 @@ def quantize_x_arc(x: jax.Array, reorder_index: jax.Array,
     m, k = x.shape
     if kq is None:
         kq = packing.pad_kq(k, select_num)
-    gx = N.nvfp4_global_scale(x)
+    gx = N.nvfp4_global_scale(x, per_row=per_row)
     xs = x.astype(jnp.float32) / gx
     qx = _nvfp4_qdq_scaled(xs)
     parts = [qx]
@@ -71,7 +72,7 @@ def quantize_x_arc(x: jax.Array, reorder_index: jax.Array,
 
 def rmsnorm_quantize_x(x: jax.Array, norm_w: jax.Array, eps: float,
                        reorder_index: jax.Array, select_num: int,
-                       kq: int | None = None):
+                       kq: int | None = None, per_row: bool = False):
     """Fused RMSNorm + ARC quantize (reference rmsnorm.cu:69-171 /
     modeling_arc.py:222-227): y = x * w * rsqrt(mean(x²)+eps), then
     quantize. Returns ((xa, gx), normed) — normed is NOT returned by
@@ -79,14 +80,14 @@ def rmsnorm_quantize_x(x: jax.Array, norm_w: jax.Array, eps: float,
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     normed = xf * jax.lax.rsqrt(var + eps) * norm_w.astype(jnp.float32)
-    return quantize_x_arc(normed, reorder_index, select_num, kq)
+    return quantize_x_arc(normed, reorder_index, select_num, kq, per_row)
 
 
 def silu_mul_quantize_x(gate: jax.Array, up: jax.Array,
                         reorder_index: jax.Array, select_num: int,
-                        kq: int | None = None):
+                        kq: int | None = None, per_row: bool = False):
     """Fused silu(gate)*up + ARC quantize — the reference re-quantizes
     the MLP product with a separate kernel launch
     (qLlamaLayer.py:436-441); here it is one fused XLA region."""
     prod = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
-    return quantize_x_arc(prod, reorder_index, select_num, kq)
+    return quantize_x_arc(prod, reorder_index, select_num, kq, per_row)

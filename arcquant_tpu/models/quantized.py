@@ -121,13 +121,15 @@ def quantize_model_params(cfg: ModelConfig, params: Params,
 
 def _act_quantize(x2d: jax.Array, calib: SiteCalib, qcfg: QuantConfig):
     """Quantize a [M, K] activation for its site. Returns (x_aug in
-    scaled units, global_scale)."""
+    scaled units, global_scale — scalar or [M, 1] per qcfg.act_scale)."""
+    per_row = qcfg.act_scale == "row"
     if qcfg.use_kernels and qcfg.quant_type == "NVFP4":
         from ..kernels import quantize as qk
         return qk.quantize_x_arc(x2d, calib.reorder_index,
-                                 calib.select_num)
+                                 calib.select_num, per_row=per_row)
     return arc.arc_quantize_x_qdq(x2d, calib.reorder_index,
-                                  calib.select_num, qcfg.quant_type)
+                                  calib.select_num, qcfg.quant_type,
+                                  per_row=per_row)
 
 
 def _q_linear(qp, xa: jax.Array, gx: jax.Array, qcfg: QuantConfig,

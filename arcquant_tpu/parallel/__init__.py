@@ -1,0 +1,7 @@
+"""Parallelism: device meshes, tensor-parallel sharded quantized
+forward (shard_map + Pallas kernels), and multi-host init helpers."""
+
+from .mesh import make_mesh, tp_axis
+from .tp import (shard_layer_params_tp, shard_model_params_tp,
+                 tp_quant_layer_forward, tp_quant_model_forward,
+                 TPContext)

@@ -1,0 +1,316 @@
+"""Tensor-parallel quantized forward via shard_map + Pallas kernels.
+
+Greenfield TPU design (the reference has NO tensor parallelism —
+SURVEY.md §2.3): Megatron-style sharding of the quantized decoder
+layer over the mesh "tp" axis, with the ARC-augmented layout made
+shard-local so no channel ever crosses a shard boundary:
+
+  column-parallel  q/k/v/gate/up : weight N-dim sharded; activations
+    replicated; each device runs the fused dequant-GEMM on its shard
+    (attention heads land shard-local; requires tp | num_kv_heads).
+  row-parallel     o/down        : weight K-dim sharded; each shard
+    owns BOTH its slice of the plain channels and the ARC residual
+    duplicates of the outlier channels that live in that slice, so
+    quantize(x_local) + residual-append stays local; partial GEMM
+    outputs combine with one psum over ICI.
+
+ARC channel selection under TP: the global top-KE selection
+(utilize.py:472-477) is re-balanced to KE/tp per shard — each shard
+compensates its own most-important channels (equal shapes on every
+device ⇒ one compiled program). The activation global scale for
+row-parallel sites is the true global max via lax.pmax (2 scalar
+collectives per layer, noise vs the GEMMs).
+
+Everything here runs INSIDE shard_map, so the Pallas kernels see only
+local shards and XLA overlaps the psum with subsequent compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, QuantConfig
+from ..models import llama
+from ..models.quantized import SiteCalib, QUANT_SITES
+from ..quant import packing, numerics as N
+from ..kernels import gemm as gk
+
+Params = Dict[str, Any]
+
+
+class TPContext(NamedTuple):
+    mesh: Mesh
+    tp: int
+
+
+# ---------------------------------------------------------------------------
+# Host-side param sharding (one-time, at load)
+# ---------------------------------------------------------------------------
+
+def _local_perm(reorder_index: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Restrict a global ascending-importance permutation to channels
+    [lo, hi), re-based to local indices (stays ascending)."""
+    ridx = np.asarray(reorder_index)
+    mask = (ridx >= lo) & (ridx < hi)
+    return (ridx[mask] - lo).astype(np.int32)
+
+
+def _stack_packed(pws):
+    """Stack per-shard packed weights along a new leading tp axis."""
+    cls = type(pws[0])
+    fields = {}
+    for name in pws[0]._fields:
+        vals = [getattr(p, name) for p in pws]
+        if vals[0] is None:
+            fields[name] = None
+        else:
+            fields[name] = jnp.stack(vals)
+    return cls(**fields)
+
+
+def shard_linear_col(w, bias, calib: SiteCalib, tp: int, fmt: str):
+    """Column-parallel: shard out_features; calib stays global. All
+    shards quantize on the full tensor's global scale (bit-identical
+    to the unsharded pack)."""
+    n = w.shape[0]
+    assert n % tp == 0, (n, tp)
+    ns = n // tp
+    gs = N.nvfp4_global_scale(w)
+    pws = [packing.pack_weight_arc(
+        w[i * ns:(i + 1) * ns], calib.reorder_index, calib.select_num,
+        bias=None if bias is None else bias[i * ns:(i + 1) * ns],
+        fmt=fmt, global_scale=gs) for i in range(tp)]
+    return _stack_packed(pws)
+
+
+def shard_linear_row(w, bias, calib: SiteCalib, tp: int, fmt: str):
+    """Row-parallel: shard in_features with per-shard ARC selection.
+
+    Returns (stacked packed weight, local residual indices [tp, sel],
+    replicated bias or None)."""
+    n, k = w.shape
+    assert k % tp == 0 and (k // tp) % 16 == 0, (k, tp)
+    ks = k // tp
+    sel = (calib.select_num // tp) // 64 * 64 if tp > 1 else \
+        calib.select_num
+    ridx = np.asarray(calib.reorder_index)
+    gs = N.nvfp4_global_scale(w)
+    pws, idx_rows = [], []
+    for i in range(tp):
+        perm = _local_perm(ridx, i * ks, (i + 1) * ks)
+        pws.append(packing.pack_weight_arc(
+            w[:, i * ks:(i + 1) * ks], jnp.asarray(perm), sel,
+            bias=None, fmt=fmt, global_scale=gs))
+        idx_rows.append(perm[-sel:] if sel else
+                        np.zeros((0,), np.int32))
+    idx = jnp.asarray(np.stack(idx_rows)) if sel else \
+        jnp.zeros((tp, 0), jnp.int32)
+    return _stack_packed(pws), idx, sel, bias
+
+
+def shard_layer_params_tp(cfg: ModelConfig, layer_p: Params,
+                          layer_calib: Dict[str, SiteCalib],
+                          qcfg: QuantConfig, tp: int) -> Params:
+    """Quantize+shard one decoder layer for tp-way tensor parallelism.
+
+    Output pytree: packed weights with a leading [tp] axis (to be
+    placed with P('tp') sharding), norms replicated."""
+    fmt = qcfg.weight_fmt
+    out: Params = {"attn_norm": layer_p["attn_norm"],
+                   "mlp_norm": layer_p["mlp_norm"]}
+    for proj in ("q", "k", "v"):
+        out[proj] = shard_linear_col(
+            layer_p[proj]["w"], layer_p[proj].get("b"),
+            layer_calib["attn_in"], tp, fmt)
+    for proj in ("gate", "up"):
+        out[proj] = shard_linear_col(
+            layer_p[proj]["w"], layer_p[proj].get("b"),
+            layer_calib["mlp_in"], tp, fmt)
+    o_pw, o_idx, o_sel, _ = shard_linear_row(
+        layer_p["o"]["w"], None, layer_calib["o_in"], tp, fmt)
+    d_pw, d_idx, d_sel, _ = shard_linear_row(
+        layer_p["down"]["w"], None, layer_calib["down_in"], tp, fmt)
+    out["o"] = o_pw
+    out["down"] = d_pw
+    out["o_idx"] = o_idx
+    out["down_idx"] = d_idx
+    out["_o_sel"] = o_sel        # static ints, popped before jit
+    out["_down_sel"] = d_sel
+    return out
+
+
+def shard_model_params_tp(cfg: ModelConfig, params: Params, calib,
+                          qcfg: QuantConfig, mesh: Mesh) -> Params:
+    """Shard the whole model onto `mesh` ("tp" axis). Embeds/norms/
+    lm_head replicated (vocab sharding: future work)."""
+    tp = mesh.shape["tp"]
+    repl = NamedSharding(mesh, P())
+    shard0 = NamedSharding(mesh, P("tp"))
+
+    def place(tree, sharded_leading_tp: bool):
+        sh = shard0 if sharded_leading_tp else repl
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    out: Params = {
+        "embed": place(params["embed"], False),
+        "final_norm": place(params["final_norm"], False),
+    }
+    if "lm_head" in params:
+        out["lm_head"] = place(params["lm_head"], False)
+    layers = []
+    sels: List[Dict[str, int]] = []
+    for li, lp in enumerate(params["layers"]):
+        slp = shard_layer_params_tp(cfg, lp, calib[li], qcfg, tp)
+        sels.append({"o": slp.pop("_o_sel"), "down": slp.pop("_down_sel")})
+        placed = {}
+        for k, v in slp.items():
+            if k in ("attn_norm", "mlp_norm"):
+                placed[k] = place(v, False)
+            else:
+                placed[k] = place(v, True)
+        layers.append(placed)
+    out["layers"] = layers
+    out["_row_sels"] = sels      # static metadata (host-side)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device-side forward (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _unstack(pw):
+    """Strip the local leading tp axis (size 1 inside shard_map)."""
+    cls = type(pw)
+    return cls(*[None if v is None else v[0] for v in pw])
+
+
+def _nvfp4_qdq_scaled(xs):
+    shape = xs.shape
+    g = xs.reshape(shape[:-1] + (shape[-1] // 16, 16))
+    absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+    scale = jnp.clip(absmax / N.E2M1_MAX, N.UE4M3_MIN, N.UE4M3_MAX)
+    scale = scale.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+    q = N.quantize_e2m1(g / scale) * scale
+    return q.reshape(shape)
+
+
+def _quantize_x_global(x2, calib: SiteCalib, kq: int):
+    """Replicated activation quantize (column-parallel sites) — same
+    numerics as kernels.quantize.quantize_x_arc."""
+    from ..kernels.quantize import quantize_x_arc
+    return quantize_x_arc(x2, calib.reorder_index, calib.select_num, kq)
+
+
+def _quantize_x_rowshard(x_local, idx_local, sel: int, kq: int):
+    """Row-parallel activation quantize: x_local [M, Ks] is this
+    shard's slice; global scale via pmax over tp."""
+    m, ks = x_local.shape
+    local_max = jnp.max(jnp.abs(x_local)).astype(jnp.float32)
+    gmax = jax.lax.pmax(local_max, "tp")
+    gx = jnp.maximum(gmax / N.NVFP4_GLOBAL_DIV, 1e-12)
+    xs = x_local.astype(jnp.float32) / gx
+    qx = _nvfp4_qdq_scaled(xs)
+    parts = [qx]
+    if sel:
+        err = xs - qx
+        parts.append(_nvfp4_qdq_scaled(jnp.take(err, idx_local, axis=1)))
+    pad = kq - ks - sel
+    if pad:
+        parts.append(jnp.zeros((m, pad), jnp.float32))
+    xa = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return xa.astype(jnp.bfloat16), gx
+
+
+def tp_quant_layer_forward(cfg: ModelConfig, p: Params, x, cos, sin,
+                           layer_calib: Dict[str, SiteCalib],
+                           row_sels: Dict[str, int],
+                           qcfg: QuantConfig, tp: int):
+    """One decoder layer, executed per-shard inside shard_map.
+    x: replicated [B, T, D]."""
+    b, t, d = x.shape
+    hq_l = cfg.num_heads // tp
+    hkv_l = cfg.num_kv_heads // tp
+
+    dt = x.dtype
+    h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
+    x2 = h.reshape(b * t, d)
+    q_pw = _unstack(p["q"])
+    xa, gx = _quantize_x_global(x2, layer_calib["attn_in"], q_pw.kq)
+    q = gk.gemm_dequant(xa, q_pw, gx, out_dtype=dt).reshape(
+        b, t, hq_l, cfg.head_dim)
+    k = gk.gemm_dequant(xa, _unstack(p["k"]), gx, out_dtype=dt).reshape(
+        b, t, hkv_l, cfg.head_dim)
+    v = gk.gemm_dequant(xa, _unstack(p["v"]), gx, out_dtype=dt).reshape(
+        b, t, hkv_l, cfg.head_dim)
+    q, k = llama.apply_rope(q, k, cos, sin)
+    kk = llama.repeat_kv(k, hq_l // hkv_l)
+    vv = llama.repeat_kv(v, hq_l // hkv_l)
+    attn = llama.dense_attention(q, kk, vv, causal=True)
+    attn2 = attn.reshape(b * t, hq_l * cfg.head_dim)   # local K-shard
+
+    o_pw = _unstack(p["o"])
+    oa, go = _quantize_x_rowshard(attn2, p["o_idx"][0],
+                                  row_sels["o"], o_pw.kq)
+    o_part = gk.gemm_dequant(oa, o_pw, go, out_dtype=jnp.float32)
+    o = jax.lax.psum(o_part, "tp").astype(x.dtype).reshape(b, t, d)
+    x = x + o
+
+    h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+    x2 = h.reshape(b * t, d)
+    g_pw = _unstack(p["gate"])
+    xa, gx = _quantize_x_global(x2, layer_calib["mlp_in"], g_pw.kq)
+    gate = gk.gemm_dequant(xa, g_pw, gx, out_dtype=jnp.float32)
+    up = gk.gemm_dequant(xa, _unstack(p["up"]), gx,
+                         out_dtype=jnp.float32)
+    inter = (jax.nn.silu(gate) * up).astype(dt)
+
+    d_pw = _unstack(p["down"])
+    ia, gi = _quantize_x_rowshard(inter, p["down_idx"][0],
+                                  row_sels["down"], d_pw.kq)
+    d_part = gk.gemm_dequant(ia, d_pw, gi, out_dtype=jnp.float32)
+    dn = jax.lax.psum(d_part, "tp").astype(x.dtype).reshape(b, t, d)
+    return x + dn
+
+
+def tp_quant_model_forward(cfg: ModelConfig, qparams: Params, calib,
+                           qcfg: QuantConfig, mesh: Mesh,
+                           tokens) -> jax.Array:
+    """Full sharded quantized forward (no cache): tokens [B, T] →
+    logits [B, T, V]. Batch replicated over tp (add dp later)."""
+    tp = mesh.shape["tp"]
+    row_sels = qparams["_row_sels"]
+    layers = qparams["layers"]
+
+    pw_spec = jax.tree.map(lambda _: P("tp"),
+                           [{k: v for k, v in lp.items()
+                             if k not in ("attn_norm", "mlp_norm")}
+                            for lp in layers])
+    norm_spec = [{k: P() for k in ("attn_norm", "mlp_norm")}
+                 for _ in layers]
+    layer_specs = [dict(ns, **ps) for ns, ps in zip(norm_spec, pw_spec)]
+
+    def fwd(embed, final_norm, head, layer_params, toks):
+        b, t = toks.shape
+        positions = jnp.arange(t)[None, :].repeat(b, 0)
+        cos, sin = llama.rope_cos_sin(cfg, positions)
+        x = embed[toks]
+        for li, lp in enumerate(layer_params):
+            x = tp_quant_layer_forward(cfg, lp, x, cos, sin, calib[li],
+                                       row_sels[li], qcfg, tp)
+        x = llama.rms_norm(x, final_norm, cfg.rms_eps)
+        return jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+
+    head = qparams.get("lm_head", qparams["embed"])
+    f = shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(), P(), layer_specs, P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(f)(qparams["embed"], qparams["final_norm"], head,
+                      layers, tokens)

@@ -40,7 +40,8 @@ def top_channels(reorder_index: jax.Array, select_num: int) -> jax.Array:
 
 
 def arc_quantize_x_qdq(x: jax.Array, reorder_index: jax.Array,
-                       select_num: int, quant_type: str = "NVFP4"):
+                       select_num: int, quant_type: str = "NVFP4",
+                       per_row: bool = False):
     """Fake-quantize an activation matrix with ARC residual append.
 
     Args:
@@ -61,7 +62,7 @@ def arc_quantize_x_qdq(x: jax.Array, reorder_index: jax.Array,
     everywhere.
     """
     if quant_type == "NVFP4":
-        gs = N.nvfp4_global_scale(x)
+        gs = N.nvfp4_global_scale(x, per_row=per_row)
     else:
         gs = jnp.float32(1.0)
     xs = x.astype(jnp.float32) / gs

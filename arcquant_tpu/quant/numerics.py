@@ -251,13 +251,22 @@ def asym_int4_encode(x: jax.Array, group: int = 64):
 # Global-scale helpers (NVFP4 two-level scaling)
 # --------------------------------------------------------------------------
 
-def nvfp4_global_scale(x: jax.Array) -> jax.Array:
+def nvfp4_global_scale(x: jax.Array, per_row: bool = False) -> jax.Array:
     """Global fp32 tensor scale absmax/(448*6) so group scales fit the
     UE4M3 range (reference qLinearLayer.py:26, qLlamaLayer.py:74).
 
     Uses absmax (the reference inconsistently uses signed max for
-    weights and absmax for activations; absmax is strictly safer)."""
-    s = jnp.max(jnp.abs(x)).astype(jnp.float32) / NVFP4_GLOBAL_DIV
+    weights and absmax for activations; absmax is strictly safer).
+
+    per_row=True returns one scale per leading row ([M, 1]) instead of
+    one per tensor — finer granularity than the reference, and it
+    makes each sequence's activation quantization independent of its
+    batch neighbors (exact batch isolation in the serving engine)."""
+    if per_row:
+        s = (jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+             .astype(jnp.float32) / NVFP4_GLOBAL_DIV)
+    else:
+        s = jnp.max(jnp.abs(x)).astype(jnp.float32) / NVFP4_GLOBAL_DIV
     return jnp.maximum(s, jnp.float32(1e-12))
 
 

@@ -146,7 +146,8 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
                     select_num: int,
                     bias: jax.Array | None = None,
                     pad_multiple: int = K_PAD_MULTIPLE,
-                    fmt: str = "w8"):
+                    fmt: str = "w8",
+                    global_scale: jax.Array | None = None):
     """Quantize+pack an [N, K] weight with ARC column duplication into
     the K-major TPU layout (one-time, at load; reference analog
     qLinearLayer.py:55 NVFP4_reorder_quantize_w).
@@ -157,9 +158,14 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
 
     fmt: "w4" (nibble-packed, 4.5 b/elem) or "w8" (i8 mag2 codes,
     8.5 b/elem, faster decode — see kernels/gemm.py).
+
+    global_scale: override the tensor scale (tensor-parallel shards
+    pass the FULL weight's scale so every shard quantizes on the same
+    grid as the unsharded tensor — bit-identical numerics under TP).
     """
     n, k = w.shape
-    gs = N.nvfp4_global_scale(w)
+    gs = (N.nvfp4_global_scale(w) if global_scale is None
+          else jnp.asarray(global_scale, jnp.float32))
     ws = w.astype(jnp.float32) / gs
     if select_num:
         idx = reorder_index[-select_num:].astype(jnp.int32)
