@@ -46,6 +46,10 @@ class QuantConfig:
     # sequences in a batch quantize independently; the serving engine
     # default).
     act_scale: str = "tensor"
+    # Weight global-scale granularity: "tensor" (reference parity,
+    # qLinearLayer.py:26) or "channel" (per-output-channel, finer;
+    # required for the engine's fused QKV / gate-up packs).
+    w_scale: str = "tensor"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

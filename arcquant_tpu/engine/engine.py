@@ -62,14 +62,15 @@ class EngineConfig:
 
 def _attn_common(cfg, p, x2, layer_calib, qcfg, b, t,
                  dtype=jnp.bfloat16):
-    """Quantize + q/k/v projections, reshaped to heads."""
+    """Quantize + fused QKV projection (one packed GEMM), split and
+    reshaped to heads."""
     xa, gx = quantized._act_quantize(x2, layer_calib["attn_in"], qcfg)
-    q = quantized._q_linear(p["q"], xa, gx, qcfg, dtype).reshape(
-        b, t, cfg.num_heads, cfg.head_dim)
-    k = quantized._q_linear(p["k"], xa, gx, qcfg, dtype).reshape(
-        b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = quantized._q_linear(p["v"], xa, gx, qcfg, dtype).reshape(
-        b, t, cfg.num_kv_heads, cfg.head_dim)
+    qkv = quantized._q_linear(p["qkv"], xa, gx, qcfg, dtype)
+    qs, kvs = cfg.q_size, cfg.kv_size
+    q = qkv[:, :qs].reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = qkv[:, qs:qs + kvs].reshape(b, t, cfg.num_kv_heads,
+                                    cfg.head_dim)
+    v = qkv[:, qs + kvs:].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
@@ -86,8 +87,8 @@ def _mlp(cfg, p, x, layer_calib, qcfg):
     dtype = x.dtype
     x2 = x.reshape(b * t, d)
     xa, gx = quantized._act_quantize(x2, layer_calib["mlp_in"], qcfg)
-    gate = quantized._q_linear(p["gate"], xa, gx, qcfg, jnp.float32)
-    up = quantized._q_linear(p["up"], xa, gx, qcfg, jnp.float32)
+    gu = quantized._q_linear(p["gateup"], xa, gx, qcfg, jnp.float32)
+    gate, up = gu[:, :gu.shape[1] // 2], gu[:, gu.shape[1] // 2:]
     inter = (jax.nn.silu(gate) * up).astype(dtype)
     ia, gi = quantized._act_quantize(inter, layer_calib["down_in"], qcfg)
     return quantized._q_linear(p["down"], ia, gi, qcfg,
@@ -115,12 +116,17 @@ class InferenceEngine:
         self.ecfg = ecfg
         self.calib = calib
         if quantize_params:
-            self.qparams = quantized.quantize_model_params(
-                cfg, params, calib, qcfg)
+            self.qparams = {k: v for k, v in params.items()
+                            if k != "layers"}
+            self.qparams["layers"] = [
+                quantized.quantize_layer_params_fused(lp, calib[i],
+                                                      qcfg)
+                for i, lp in enumerate(params["layers"])]
         else:
             self.qparams = params
         self._prefill_jit: Dict[Tuple[int, int], Any] = {}
         self._decode_jit = None
+        self._scan_jit: Dict[Any, Any] = {}
 
     @classmethod
     def dummy(cls, cfg: ModelConfig, calib, qcfg: QuantConfig,
@@ -136,7 +142,8 @@ class InferenceEngine:
         qlayers = []
         for i in range(cfg.num_layers):
             lp = llama.init_layer_params(cfg, keys[i + 1], dtype)
-            qlp = quantized.quantize_layer_params(lp, calib[i], qcfg)
+            qlp = quantized.quantize_layer_params_fused(lp, calib[i],
+                                                        qcfg)
             qlp = jax.tree.map(
                 lambda x: jax.block_until_ready(x)
                 if hasattr(x, "block_until_ready") else x, qlp)
@@ -266,6 +273,37 @@ class InferenceEngine:
         logits, cache, new_lens = self._decode_jit(
             self.qparams, cache, pt, seq_lens, tokens, active)
         return logits, (cache, pt, new_lens)
+
+    def decode_scan(self, state, first_tokens, active, num_steps: int,
+                    eos_id: Optional[int] = None):
+        """Run `num_steps` greedy decode steps fully on-device
+        (lax.scan over steps, sampling inside — zero host round-trips
+        in the token loop). Slots hitting eos_id go inactive.
+
+        Returns (tokens [B, num_steps] i32 — the tokens produced at
+        each step (repeats the last token after a slot retires),
+        new_state)."""
+        cache, pt, seq_lens = state
+        key = (num_steps, eos_id)
+        if key not in self._scan_jit:
+            def f(qparams, cache, pt, seq_lens, first_tokens, active):
+                def body(carry, _):
+                    cache, seq_lens, toks, act = carry
+                    logits, cache, seq_lens = self._decode_forward(
+                        qparams, cache, pt, seq_lens, toks, act)
+                    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    nxt = jnp.where(act, nxt, toks)
+                    if eos_id is not None:
+                        act = act & (nxt != eos_id)
+                    return (cache, seq_lens, nxt, act), nxt
+                (cache2, lens2, _, _), toks = jax.lax.scan(
+                    body, (cache, seq_lens, first_tokens, active),
+                    None, length=num_steps)
+                return toks.T, cache2, lens2
+            self._scan_jit[key] = jax.jit(f, donate_argnums=(1,))
+        toks, cache, lens = self._scan_jit[key](
+            self.qparams, cache, pt, seq_lens, first_tokens, active)
+        return toks, (cache, pt, lens)
 
     # -- convenience -------------------------------------------------------
 

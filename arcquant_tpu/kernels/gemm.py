@@ -95,9 +95,9 @@ def _expand_groups(s: jax.Array, rep: int) -> jax.Array:
 # w4 kernel (packed nibbles, magic decode)
 # ---------------------------------------------------------------------------
 
-def _gemm_w4_kernel(gs_ref, xe_ref, xo_ref, codes_ref, scales_ref,
-                    bias_ref, o_ref, acc_ref, *, n_k: int, out_dtype,
-                    has_bias: bool):
+def _gemm_w4_kernel(gs_ref, gw_ref, xe_ref, xo_ref, codes_ref,
+                    scales_ref, bias_ref, o_ref, acc_ref, *, n_k: int,
+                    out_dtype, has_bias: bool):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -131,7 +131,8 @@ def _gemm_w4_kernel(gs_ref, xe_ref, xo_ref, codes_ref, scales_ref,
 
     @pl.when(kb == n_k - 1)
     def _():
-        y = acc_ref[:] * gs_ref[:]          # [bm, bn] * [bm, 1]
+        # [bm, bn] * [bm, 1] row scale * [1, bn] weight channel scale
+        y = acc_ref[:] * gs_ref[:] * gw_ref[:]
         if has_bias:
             y = y + bias_ref[:].astype(jnp.float32)
         o_ref[:] = y.astype(out_dtype)
@@ -141,8 +142,8 @@ def _gemm_w4_kernel(gs_ref, xe_ref, xo_ref, codes_ref, scales_ref,
 # w8 kernel (i8 mag2 codes)
 # ---------------------------------------------------------------------------
 
-def _gemm_w8_kernel(gs_ref, x_ref, codes_ref, scales_ref, bias_ref,
-                    o_ref, acc_ref, *, n_k: int, out_dtype,
+def _gemm_w8_kernel(gs_ref, gw_ref, x_ref, codes_ref, scales_ref,
+                    bias_ref, o_ref, acc_ref, *, n_k: int, out_dtype,
                     has_bias: bool):
     kb = pl.program_id(2)
 
@@ -158,7 +159,8 @@ def _gemm_w8_kernel(gs_ref, x_ref, codes_ref, scales_ref, bias_ref,
 
     @pl.when(kb == n_k - 1)
     def _():
-        y = acc_ref[:] * gs_ref[:]          # [bm, bn] * [bm, 1]
+        # [bm, bn] * [bm, 1] row scale * [1, bn] weight channel scale
+        y = acc_ref[:] * gs_ref[:] * gw_ref[:]
         if has_bias:
             y = y + bias_ref[:].astype(jnp.float32)
         o_ref[:] = y.astype(out_dtype)
@@ -187,8 +189,8 @@ def split_even_odd(xa: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=(
     "fmt", "out_dtype", "bm", "bn", "bk", "has_bias", "interpret"))
-def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
-               bk, has_bias, interpret):
+def _gemm_call(x, codes, scales_u8, gs, gw, bias, *, fmt, out_dtype,
+               bm, bn, bk, has_bias, interpret):
     m = x.shape[0]
     n = codes.shape[1]
     kq = codes.shape[0] * (2 if fmt == "w4" else 1)
@@ -196,6 +198,9 @@ def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
     grid = (m // bm, n // bn, n_k)
     gs2 = gs.astype(jnp.float32)                    # [m, 1] per-row
     gs_spec = pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                           memory_space=pltpu.VMEM)
+    gw2 = gw.astype(jnp.float32)                    # [1, n] per-channel
+    gw_spec = pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
                            memory_space=pltpu.VMEM)
     bias2 = (bias.reshape(1, n).astype(jnp.float32) if has_bias
              else jnp.zeros((1, 1), jnp.float32))
@@ -225,7 +230,8 @@ def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                gs_spec,
+                gw_spec,
                 pl.BlockSpec((bm, bk // 2), lambda i, j, k: (i, k),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bm, bk // 2),
@@ -239,7 +245,7 @@ def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
                 bias_spec,
             ],
             **common,
-        )(gs2, x, x, codes, scales_u8, bias2)
+        )(gs2, gw2, x, x, codes, scales_u8, bias2)
     kernel = functools.partial(_gemm_w8_kernel, n_k=n_k,
                                out_dtype=out_dtype, has_bias=has_bias)
     return pl.pallas_call(
@@ -247,6 +253,7 @@ def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
         grid=grid,
         in_specs=[
             gs_spec,
+            gw_spec,
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
@@ -256,7 +263,7 @@ def _gemm_call(x, codes, scales_u8, gs, bias, *, fmt, out_dtype, bm, bn,
             bias_spec,
         ],
         **common,
-    )(gs2, x, codes, scales_u8, bias2)
+    )(gs2, gw2, x, codes, scales_u8, bias2)
 
 
 def gemm_dequant(xa: jax.Array,
@@ -287,14 +294,16 @@ def gemm_dequant(xa: jax.Array,
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     scales_u8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
-    # epilogue scale column [m_pad, 1]: per-row activation scale (or a
-    # broadcast scalar) × the weight's global scale
+    # epilogue scales: per-row activation column [m_pad, 1] × weight
+    # global scale row [1, n] (per-tensor scalar broadcast, or
+    # per-output-channel vector)
     gx = jnp.asarray(gx, jnp.float32)
-    gs = jnp.broadcast_to(gx.reshape(-1, 1), (m, 1)) \
-        * pw.global_scale.astype(jnp.float32)
+    gs = jnp.broadcast_to(gx.reshape(-1, 1), (m, 1)).astype(jnp.float32)
     if m_pad != m:
         gs = jnp.pad(gs, ((0, m_pad - m), (0, 0)))
-    y = _gemm_call(x, pw.codes, scales_u8, gs,
+    gwv = pw.global_scale.astype(jnp.float32)
+    gw = jnp.broadcast_to(gwv.reshape(1, -1), (1, n))
+    y = _gemm_call(x, pw.codes, scales_u8, gs, gw,
                    pw.bias if pw.bias is not None else None,
                    fmt=fmt, out_dtype=jnp.dtype(out_dtype).name,
                    bm=bm, bn=bn, bk=bk,

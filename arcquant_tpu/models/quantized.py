@@ -70,20 +70,23 @@ def identity_calib(cfg: ModelConfig, select_frac: float = 0.0
 # ---------------------------------------------------------------------------
 
 def _quantize_linear_fake(p: Params, calib: SiteCalib,
-                          quant_type: str) -> Params:
+                          quant_type: str,
+                          per_channel: bool = False) -> Params:
     wa, gs = arc.arc_quantize_w_qdq(p["w"], calib.reorder_index,
-                                    calib.select_num, quant_type)
-    out = {"w_aug": wa.astype(jnp.bfloat16), "gs": gs}
+                                    calib.select_num, quant_type,
+                                    per_channel=per_channel)
+    out = {"w_aug": wa.astype(jnp.bfloat16),
+           "gs": gs.reshape(1, -1) if gs.ndim else gs}
     if "b" in p:
         out["b"] = p["b"]
     return out
 
 
 def _quantize_linear_packed(p: Params, calib: SiteCalib,
-                            fmt: str = "w8"):
+                            fmt: str = "w8", w_scale: str = "tensor"):
     return packing.pack_weight_arc(p["w"], calib.reorder_index,
                                    calib.select_num, bias=p.get("b"),
-                                   fmt=fmt)
+                                   fmt=fmt, w_scale=w_scale)
 
 
 def quantize_layer_params(layer_p: Params, layer_calib: Dict[str, SiteCalib],
@@ -96,11 +99,46 @@ def quantize_layer_params(layer_p: Params, layer_calib: Dict[str, SiteCalib],
         if qcfg.quant_type == "BF16":
             out[proj] = layer_p[proj]
         elif qcfg.use_kernels and qcfg.quant_type == "NVFP4":
-            out[proj] = _quantize_linear_packed(layer_p[proj], calib,
-                                                qcfg.weight_fmt)
+            out[proj] = _quantize_linear_packed(
+                layer_p[proj], calib, qcfg.weight_fmt, qcfg.w_scale)
         else:
-            out[proj] = _quantize_linear_fake(layer_p[proj], calib,
-                                              qcfg.quant_type)
+            out[proj] = _quantize_linear_fake(
+                layer_p[proj], calib, qcfg.quant_type,
+                per_channel=qcfg.w_scale == "channel")
+    return out
+
+
+def quantize_layer_params_fused(layer_p: Params,
+                                layer_calib: Dict[str, SiteCalib],
+                                qcfg: QuantConfig) -> Params:
+    """Engine variant: q/k/v fuse into ONE packed GEMM (concatenated
+    output channels), as do gate/up — 4 GEMMs per layer instead of 7.
+    Requires qcfg.w_scale == "channel" for the fused pack to keep
+    per-projection scale quality (with per-channel scales, fused and
+    unfused numerics are bit-identical)."""
+    def cat(names):
+        w = jnp.concatenate([layer_p[n]["w"] for n in names], axis=0)
+        bs = [layer_p[n].get("b") for n in names]
+        b = (jnp.concatenate(bs) if all(x is not None for x in bs)
+             else None)
+        return {"w": w, **({"b": b} if b is not None else {})}
+
+    out = {"attn_norm": layer_p["attn_norm"],
+           "mlp_norm": layer_p["mlp_norm"]}
+    specs = {"qkv": (("q", "k", "v"), "attn_in"),
+             "gateup": (("gate", "up"), "mlp_in"),
+             "o": (("o",), "o_in"),
+             "down": (("down",), "down_in")}
+    for name, (projs, site) in specs.items():
+        p = cat(projs) if len(projs) > 1 else layer_p[projs[0]]
+        calib = layer_calib[site]
+        if qcfg.use_kernels and qcfg.quant_type == "NVFP4":
+            out[name] = _quantize_linear_packed(
+                p, calib, qcfg.weight_fmt, qcfg.w_scale)
+        else:
+            out[name] = _quantize_linear_fake(
+                p, calib, qcfg.quant_type,
+                per_channel=qcfg.w_scale == "channel")
     return out
 
 

@@ -76,7 +76,8 @@ def arc_quantize_x_qdq(x: jax.Array, reorder_index: jax.Array,
 
 
 def arc_quantize_w_qdq(w: jax.Array, reorder_index: jax.Array,
-                       select_num: int, quant_type: str = "NVFP4"):
+                       select_num: int, quant_type: str = "NVFP4",
+                       per_channel: bool = False):
     """Fake-quantize a weight matrix with ARC column duplication.
 
     Args:
@@ -89,12 +90,18 @@ def arc_quantize_w_qdq(w: jax.Array, reorder_index: jax.Array,
     outlier weight columns are simply re-quantized duplicates. Note the
     weight qdq values stay in "scaled" units; the caller applies the
     global scale at GEMM epilogue (qLinearLayer.py:69-71).
+
+    per_channel=True uses one global scale per OUTPUT channel
+    (returned as [N]) — finer than the reference's per-tensor scale.
     """
     if quant_type == "NVFP4":
-        gs = N.nvfp4_global_scale(w)
+        if per_channel:
+            gs = N.nvfp4_global_scale(w, per_row=True)[:, 0]  # [N]
+        else:
+            gs = N.nvfp4_global_scale(w)
     else:
         gs = jnp.float32(1.0)
-    ws = w.astype(jnp.float32) / gs
+    ws = w.astype(jnp.float32) / (gs[:, None] if gs.ndim else gs)
     qw = N.group_qdq(ws, quant_type)
     if select_num == 0:
         return qw.astype(w.dtype), gs
@@ -106,7 +113,9 @@ def arc_quantize_w_qdq(w: jax.Array, reorder_index: jax.Array,
 
 def arc_linear_fake(x: jax.Array, w: jax.Array, reorder_index: jax.Array,
                     select_num: int, quant_type: str = "NVFP4",
-                    bias: jax.Array | None = None) -> jax.Array:
+                    bias: jax.Array | None = None,
+                    per_row: bool = False,
+                    per_channel: bool = False) -> jax.Array:
     """End-to-end fake-quant ARC linear: y = x_aug @ w_aug.T * scales.
 
     This is the golden semantic the fused Pallas quantize+GEMM pipeline
@@ -114,10 +123,13 @@ def arc_linear_fake(x: jax.Array, w: jax.Array, reorder_index: jax.Array,
     formats without a packed kernel.
     """
     x2 = x.reshape(-1, x.shape[-1])
-    xa, gx = arc_quantize_x_qdq(x2, reorder_index, select_num, quant_type)
-    wa, gw = arc_quantize_w_qdq(w, reorder_index, select_num, quant_type)
+    xa, gx = arc_quantize_x_qdq(x2, reorder_index, select_num,
+                                quant_type, per_row=per_row)
+    wa, gw = arc_quantize_w_qdq(w, reorder_index, select_num,
+                                quant_type, per_channel=per_channel)
+    gw2 = gw.reshape(1, -1) if gw.ndim else gw
     y = jnp.dot(xa.astype(jnp.float32), wa.astype(jnp.float32).T,
-                preferred_element_type=jnp.float32) * (gx * gw)
+                preferred_element_type=jnp.float32) * gx * gw2
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.reshape(x.shape[:-1] + (w.shape[0],)).astype(x.dtype)

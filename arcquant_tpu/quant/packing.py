@@ -147,7 +147,8 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
                     bias: jax.Array | None = None,
                     pad_multiple: int = K_PAD_MULTIPLE,
                     fmt: str = "w8",
-                    global_scale: jax.Array | None = None):
+                    global_scale: jax.Array | None = None,
+                    w_scale: str = "tensor"):
     """Quantize+pack an [N, K] weight with ARC column duplication into
     the K-major TPU layout (one-time, at load; reference analog
     qLinearLayer.py:55 NVFP4_reorder_quantize_w).
@@ -162,11 +163,19 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
     global_scale: override the tensor scale (tensor-parallel shards
     pass the FULL weight's scale so every shard quantizes on the same
     grid as the unsharded tensor — bit-identical numerics under TP).
+
+    w_scale: "tensor" (reference parity) or "channel" (one global
+    scale per output channel, [N] — finer; lets concatenated fused
+    QKV / gate-up packs keep per-projection scale quality).
     """
     n, k = w.shape
-    gs = (N.nvfp4_global_scale(w) if global_scale is None
-          else jnp.asarray(global_scale, jnp.float32))
-    ws = w.astype(jnp.float32) / gs
+    if global_scale is not None:
+        gs = jnp.asarray(global_scale, jnp.float32)
+    elif w_scale == "channel":
+        gs = N.nvfp4_global_scale(w, per_row=True)[:, 0]   # [N]
+    else:
+        gs = N.nvfp4_global_scale(w)
+    ws = w.astype(jnp.float32) / (gs[:, None] if gs.ndim else gs)
     if select_num:
         idx = reorder_index[-select_num:].astype(jnp.int32)
         ws = jnp.concatenate([ws, ws[:, idx]], axis=1)

@@ -80,7 +80,8 @@ def main():
     if args.layers:
         cfg = cfg.replace(num_layers=args.layers)
     qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
-                       weight_fmt=args.weight_fmt, act_scale="row")
+                       weight_fmt=args.weight_fmt, act_scale="row",
+                       w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=args.select_frac)
     max_seq = args.prefill_seq_len + args.decode_steps + 8
     ecfg = EngineConfig(max_batch=args.batch_size,
@@ -105,10 +106,10 @@ def main():
         return logits, state
 
     def run_decode(state, n):
-        logits = None
-        for _ in range(n):
-            logits, state = eng.decode_step(state, dec_toks, active)
-        return logits, state
+        # fully on-device loop: scan over steps with greedy sampling
+        # inside (serving-honest: each step consumes the sampled token)
+        toks_out, state = eng.decode_scan(state, dec_toks, active, n)
+        return toks_out, state
 
     # warmup / compile
     for _ in range(args.warmup):

@@ -19,8 +19,12 @@ def setup():
     params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
     # fake-quant path on CPU (kernels run interpret = slow); numerics
     # identical to the packed path by the kernel parity tests
+    # row act scales + channel weight scales: engine defaults; with
+    # channel weight scales the engine's fused QKV/gate-up packs are
+    # numerically identical to the unfused quantize path.
     qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False,
-                       kv_quant=False, act_scale="row")
+                       kv_quant=False, act_scale="row",
+                       w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=0.125)
     ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
     eng = InferenceEngine(cfg, params, calib, qcfg, ecfg)
@@ -38,8 +42,12 @@ def test_prefill_logits_match_dense_forward(setup):
     toks[0, :5] = prompt
     lens = jnp.asarray([5, 0], jnp.int32)
     logits, state = eng.prefill(state, jnp.asarray(toks), lens)
+    # unfused quantize path (engine params are QKV/gate-up fused, so
+    # build a separate unfused quantization — identical numerics under
+    # per-channel weight scales)
+    uq = quantized.quantize_model_params(cfg, params, calib, qcfg)
     ref = quantized.quant_model_forward(
-        cfg, eng.qparams, calib, qcfg, jnp.asarray([prompt], jnp.int32))
+        cfg, uq, calib, qcfg, jnp.asarray([prompt], jnp.int32))
     np.testing.assert_allclose(np.asarray(logits[0]),
                                np.asarray(ref[0, -1]),
                                rtol=2e-2, atol=2e-2)
