@@ -39,40 +39,47 @@ from ..config import ModelConfig, KV_PAGE_SIZE
 
 
 class PagedKVCache(NamedTuple):
-    """Device-side paged KV state (a pytree; donate across steps)."""
-    k_codes: jax.Array    # u8  [L, P, Hkv, page, Dh//2]
-    k_scale: jax.Array    # f32 [L, P, Hkv, page]
-    k_min: jax.Array      # f32 [L, P, Hkv, page]
-    v_codes: jax.Array    # u8  [L, P, Hkv, page, Dh//2]
-    v_scale: jax.Array    # f32 [L, P, Hkv, page]
-    v_min: jax.Array      # f32 [L, P, Hkv, page]
+    """Device-side paged KV state (a pytree; donate across steps).
+
+    Each field is a TUPLE of per-layer arrays — one buffer per layer,
+    so a layer's append touches only that layer's buffers (a single
+    [L, ...] array would force a whole-pool dynamic-update-slice per
+    layer per step)."""
+    k_codes: tuple    # L × u8  [P, Hkv, page, Dh//2]
+    k_scale: tuple    # L × f32 [P, Hkv, page]
+    k_min: tuple      # L × f32 [P, Hkv, page]
+    v_codes: tuple    # L × u8  [P, Hkv, page, Dh//2]
+    v_scale: tuple    # L × f32 [P, Hkv, page]
+    v_min: tuple      # L × f32 [P, Hkv, page]
 
     @property
     def page_size(self) -> int:
-        return self.k_codes.shape[3]
+        return self.k_codes[0].shape[2]
 
     @property
     def num_pages(self) -> int:
-        return self.k_codes.shape[1]
+        return self.k_codes[0].shape[0]
 
     @property
     def head_dim(self) -> int:
-        return self.k_codes.shape[4] * 2
+        return self.k_codes[0].shape[3] * 2
 
 
 def init_cache(cfg: ModelConfig, num_pages: int,
                page_size: int = KV_PAGE_SIZE) -> PagedKVCache:
-    """Pre-allocate the page pool (reference kv_cache.py:146-159)."""
+    """Pre-allocate the page pool (reference kv_cache.py:146-159).
+    Distinct arrays per layer and field: the engine donates the cache
+    pytree, and XLA rejects donating one buffer twice."""
     l, h, d = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     assert d % 2 == 0
 
-    # distinct arrays: the engine donates the cache pytree, and XLA
-    # rejects donating one buffer twice
     def codes():
-        return jnp.zeros((l, num_pages, h, page_size, d // 2), jnp.uint8)
+        return tuple(jnp.zeros((num_pages, h, page_size, d // 2),
+                               jnp.uint8) for _ in range(l))
 
     def params():
-        return jnp.zeros((l, num_pages, h, page_size), jnp.float32)
+        return tuple(jnp.zeros((num_pages, h, page_size), jnp.float32)
+                     for _ in range(l))
 
     return PagedKVCache(codes(), params(), params(),
                         codes(), params(), params())
@@ -166,14 +173,14 @@ def append_kv(cache: PagedKVCache, layer: int, k_new: jax.Array,
                       cache.k_min[layer], k_new)
     vc, vs, vm = scat(cache.v_codes[layer], cache.v_scale[layer],
                       cache.v_min[layer], v_new)
+
+    def repl(t, new):
+        return t[:layer] + (new,) + t[layer + 1:]
+
     return PagedKVCache(
-        cache.k_codes.at[layer].set(kc),
-        cache.k_scale.at[layer].set(ks),
-        cache.k_min.at[layer].set(km),
-        cache.v_codes.at[layer].set(vc),
-        cache.v_scale.at[layer].set(vs),
-        cache.v_min.at[layer].set(vm),
-    )
+        repl(cache.k_codes, kc), repl(cache.k_scale, ks),
+        repl(cache.k_min, km), repl(cache.v_codes, vc),
+        repl(cache.v_scale, vs), repl(cache.v_min, vm))
 
 
 def gather_kv(cache: PagedKVCache, layer: int, page_table: jax.Array,

@@ -245,6 +245,11 @@ class InferenceEngine:
     def prefill(self, state, tokens, lens):
         """Prefill the batch. tokens [B, T] right-padded; lens [B]
         (0 = inactive slot). Returns (last_logits, new_state)."""
+        if tokens.shape[1] > self.ecfg.max_seq_len:
+            # KV capacity hard error (reference kv_cache.py:174-188)
+            raise ValueError(
+                f"prefill length {tokens.shape[1]} exceeds KV capacity "
+                f"max_seq_len={self.ecfg.max_seq_len}")
         cache, pt, seq_lens = state
         key = tuple(tokens.shape)
         if key not in self._prefill_jit:

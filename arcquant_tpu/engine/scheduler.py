@@ -126,6 +126,15 @@ class ContinuousBatcher:
             req.output.append(tok)
             if len(req.output) >= req.max_new_tokens:
                 self._retire(i)
+        # KV capacity guard: retire any sequence about to overflow its
+        # page range (reference kv_cache.py:174-188 raises instead;
+        # retiring keeps the batch serving)
+        _, _, seq_lens = self.state
+        lens_np = np.asarray(seq_lens)
+        for i in list(range(len(self.slots))):
+            if (self.slots[i] is not None
+                    and lens_np[i] >= self.engine.ecfg.max_seq_len - 1):
+                self._retire(i)
         active = np.asarray([s is not None for s in self.slots])
         if active.any():
             logits, self.state = self.engine.decode_step(

@@ -164,7 +164,7 @@ def paged_decode(q: jax.Array, cache: PagedKVCache, layer: int,
     Returns [B, Hq, Dh].
     """
     b, hq, dh = q.shape
-    hkv = cache.k_codes.shape[2]
+    hkv = cache.k_codes[layer].shape[1]
     g = hq // hkv
     gp = max(8, g)
     sm_scale = 1.0 / math.sqrt(dh)

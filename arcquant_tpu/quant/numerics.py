@@ -81,12 +81,21 @@ def e2m1_encode(x: jax.Array) -> jax.Array:
 
 
 def e2m1_decode(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """Decode E2M1 codes back to real values."""
-    mag_idx = (codes & 0x7).astype(jnp.int32)
-    table = jnp.asarray(E2M1_MAGNITUDES, dtype)
-    mag = table[mag_idx]
-    sign = jnp.where((codes & 0x8) != 0, -1.0, 1.0).astype(dtype)
-    return sign * mag
+    """Decode E2M1 codes back to real values.
+
+    Pure bit arithmetic (the "magic bitcast": the f32 whose exponent/
+    mantissa fields are the e2m1 fields equals e2m1(c) * 2^-126, with
+    the denormal-flushed subnormal codes ±0.5 taking one select) — a
+    table gather here is serial poison on the TPU VPU and dominated
+    the whole activation-quantize chain."""
+    c = codes.astype(jnp.int32)
+    mag = c & 0x7
+    bits = (mag << 22) | ((c & 0x8) << 28)
+    f = jax.lax.bitcast_convert_type(bits, jnp.float32) * jnp.float32(
+        2.0 ** 126)
+    sgn = 1.0 - ((c >> 3) << 1).astype(jnp.float32)
+    val = jnp.where(mag < 2, (sgn * 0.5) * mag.astype(jnp.float32), f)
+    return val.astype(dtype)
 
 
 def quantize_e2m1(x: jax.Array) -> jax.Array:

@@ -19,15 +19,19 @@ import numpy as np
 from ..quant.packing import PackedWeight, PackedWeightI8
 
 
+# format tag stored as a tiny int array (orbax rejects string leaves)
+_TAG_W4, _TAG_W8 = np.int32(4), np.int32(8)
+
+
 def _to_plain(tree):
     """NamedTuples -> tagged dicts (orbax round-trips dicts/lists)."""
     if isinstance(tree, PackedWeight):
-        d = {"__packed__": "w4"}
+        d = {"__packed__": _TAG_W4}
         d.update({k: _to_plain(v) for k, v in tree._asdict().items()
                   if v is not None})
         return d
     if isinstance(tree, PackedWeightI8):
-        d = {"__packed__": "w8"}
+        d = {"__packed__": _TAG_W8}
         d.update({k: _to_plain(v) for k, v in tree._asdict().items()
                   if v is not None})
         return d
@@ -42,7 +46,7 @@ def _from_plain(tree):
     if isinstance(tree, dict):
         tag = tree.get("__packed__")
         if tag is not None:
-            cls = PackedWeightI8 if _leaf_str(tag) == "w8" else \
+            cls = PackedWeightI8 if int(np.asarray(tag)) == 8 else \
                 PackedWeight
             return cls(codes=tree["codes"], scales=tree["scales"],
                        global_scale=tree["global_scale"],
@@ -51,12 +55,6 @@ def _from_plain(tree):
     if isinstance(tree, (list, tuple)):
         return [_from_plain(v) for v in tree]
     return tree
-
-
-def _leaf_str(x) -> str:
-    if isinstance(x, (bytes, str)):
-        return x.decode() if isinstance(x, bytes) else x
-    return str(np.asarray(x))
 
 
 def save_quantized(path: str, qparams: Dict[str, Any]) -> None:

@@ -111,10 +111,11 @@ def main():
         toks_out, state = eng.decode_scan(state, dec_toks, active, n)
         return toks_out, state
 
-    # warmup / compile
+    # warmup / compile — MUST use the same decode_steps as the timed
+    # runs (the decode scan compiles per step-count)
     for _ in range(args.warmup):
         logits, state = run_prefill()
-        logits, state = run_decode(state, 2)
+        logits, state = run_decode(state, args.decode_steps)
         fetch(logits)
 
     prefill_ts, decode_ts, e2e_ts = [], [], []

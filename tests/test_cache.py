@@ -73,8 +73,8 @@ def test_append_masked_positions(small_cache):
     positions = jnp.stack([jnp.arange(t),
                            jnp.full((t,), -1, jnp.int32)])
     cache = paged.append_kv(cache, 0, k, v, page_table, positions)
-    assert int(jnp.sum(cache.k_scale[0, 2])) == 0  # page 2 untouched
-    assert float(jnp.max(cache.k_scale[0, 1])) > 0
+    assert int(jnp.sum(cache.k_scale[0][2])) == 0  # page 2 untouched
+    assert float(jnp.max(cache.k_scale[0][1])) > 0
 
 
 def _dense_ref_decode(q, k, v, seq_lens):
