@@ -132,7 +132,9 @@ def quantize_layer_params_fused(layer_p: Params,
     for name, (projs, site) in specs.items():
         p = cat(projs) if len(projs) > 1 else layer_p[projs[0]]
         calib = layer_calib[site]
-        if qcfg.use_kernels and qcfg.quant_type == "NVFP4":
+        if qcfg.quant_type == "BF16":
+            out[name] = p
+        elif qcfg.use_kernels and qcfg.quant_type == "NVFP4":
             out[name] = _quantize_linear_packed(
                 p, calib, qcfg.weight_fmt, qcfg.w_scale)
         else:
@@ -160,6 +162,8 @@ def quantize_model_params(cfg: ModelConfig, params: Params,
 def _act_quantize(x2d: jax.Array, calib: SiteCalib, qcfg: QuantConfig):
     """Quantize a [M, K] activation for its site. Returns (x_aug in
     scaled units, global_scale — scalar or [M, 1] per qcfg.act_scale)."""
+    if qcfg.quant_type == "BF16":
+        return x2d, jnp.float32(1.0)
     per_row = qcfg.act_scale == "row"
     if qcfg.use_kernels and qcfg.quant_type == "NVFP4":
         from ..kernels import quantize as qk

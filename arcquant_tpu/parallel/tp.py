@@ -90,18 +90,26 @@ def shard_linear_col(w, bias, calib: SiteCalib, tp: int, fmt: str):
     return _stack_packed(pws)
 
 
-def shard_linear_row(w, bias, calib: SiteCalib, tp: int, fmt: str):
+def shard_linear_row(w, bias, calib: SiteCalib, tp: int, fmt: str,
+                     w_scale: str = "tensor"):
     """Row-parallel: shard in_features with per-shard ARC selection.
 
+    The global scale (tensor scalar or per-channel [N] vector) is
+    computed over the FULL weight and passed to every shard, so the
+    quantization grid is identical to the unsharded pack.
+
     Returns (stacked packed weight, local residual indices [tp, sel],
-    replicated bias or None)."""
+    per-shard select count, replicated bias or None)."""
     n, k = w.shape
     assert k % tp == 0 and (k // tp) % 16 == 0, (k, tp)
     ks = k // tp
     sel = (calib.select_num // tp) // 64 * 64 if tp > 1 else \
         calib.select_num
     ridx = np.asarray(calib.reorder_index)
-    gs = N.nvfp4_global_scale(w)
+    if w_scale == "channel":
+        gs = N.nvfp4_global_scale(w, per_row=True)[:, 0]
+    else:
+        gs = N.nvfp4_global_scale(w)
     pws, idx_rows = [], []
     for i in range(tp):
         perm = _local_perm(ridx, i * ks, (i + 1) * ks)
@@ -134,9 +142,11 @@ def shard_layer_params_tp(cfg: ModelConfig, layer_p: Params,
             layer_p[proj]["w"], layer_p[proj].get("b"),
             layer_calib["mlp_in"], tp, fmt)
     o_pw, o_idx, o_sel, _ = shard_linear_row(
-        layer_p["o"]["w"], None, layer_calib["o_in"], tp, fmt)
+        layer_p["o"]["w"], None, layer_calib["o_in"], tp, fmt,
+        qcfg.w_scale)
     d_pw, d_idx, d_sel, _ = shard_linear_row(
-        layer_p["down"]["w"], None, layer_calib["down_in"], tp, fmt)
+        layer_p["down"]["w"], None, layer_calib["down_in"], tp, fmt,
+        qcfg.w_scale)
     out["o"] = o_pw
     out["down"] = d_pw
     out["o_idx"] = o_idx

@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--weight_fmt", default="w8", choices=["w4", "w8"])
+    ap.add_argument("--quant", default="NVFP4",
+                    choices=["NVFP4", "BF16"],
+                    help="BF16 runs the unquantized engine (baseline)")
     ap.add_argument("--select_frac", type=float, default=0.0,
                     help="ARC outlier fraction (calibration-free runs)")
     ap.add_argument("--layers", type=int, default=0,
@@ -79,7 +82,7 @@ def main():
     cfg = get_model_config(args.model)
     if args.layers:
         cfg = cfg.replace(num_layers=args.layers)
-    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+    qcfg = QuantConfig(quant_type=args.quant, use_kernels=True,
                        weight_fmt=args.weight_fmt, act_scale="row",
                        w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=args.select_frac)
@@ -87,7 +90,7 @@ def main():
     ecfg = EngineConfig(max_batch=args.batch_size,
                         max_seq_len=max_seq)
     print(f"building dummy {args.model} ({cfg.num_layers} layers, "
-          f"{args.weight_fmt})...", file=sys.stderr)
+          f"{args.quant}/{args.weight_fmt})...", file=sys.stderr)
     eng = InferenceEngine.dummy(cfg, calib, qcfg, ecfg)
 
     b, t = args.batch_size, args.prefill_seq_len
