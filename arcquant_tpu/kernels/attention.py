@@ -7,11 +7,14 @@ flashinfer `single_prefill_with_kv_cache` on the perf path
 softmax over kv blocks so the [T, T] logits never materialize in HBM.
 
 Layout: q/k/v arrive as [B, T, H, Dh]; the kernel grid is
-(B * Hq, num_q_blocks) with an inner fori_loop over kv blocks (only
-those not fully masked by causality). GQA is handled by indexing the
-kv head as hq // group at the BlockSpec level, so no repeat_kv
-materialization (the reference materializes repeated KV,
-qLlamaLayer.py:344-345 — a 4-7x HBM cost at GQA ratios).
+(B * Hq, num_q_blocks, num_kv_blocks) with the kv dimension innermost
+and the online-softmax state (m, l, acc) carried in VMEM scratch, so
+KV streams blockwise from HBM (long contexts never exceed VMEM).
+Fully-masked kv blocks (above the causal diagonal) skip their compute.
+GQA is handled by indexing the kv head as (batch, q_head // group) at
+the BlockSpec level, so no repeat_kv materialization (the reference
+materializes repeated KV, qLlamaLayer.py:344-345 — a 4-7× HBM cost at
+GQA ratios).
 """
 
 from __future__ import annotations
@@ -29,53 +32,54 @@ from .gemm import _use_interpret
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                  block_q: int, block_k: int, kv_len: int,
-                  q_offset: int):
-    """One (batch*head, q_block) program: online softmax over kv blocks.
-
-    q_ref: [block_q, Dh]; k_ref/v_ref: [kv_len, Dh] (full kv for this
-    head stays in VMEM — fine for prefill lengths up to ~8k at
-    Dh=128); o_ref: [block_q, Dh].
-    """
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, block_q: int, block_k: int,
+                  kv_len: int, q_offset: int):
+    """One (batch*head, q_block, kv_block) program with carried online
+    softmax. q_ref: [1, bq, Dh]; k_ref/v_ref: [1, bk, Dh]."""
     qb = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
+    kb = pl.program_id(2)
+    n_kv = pl.num_programs(2)
 
-    # causal: query i attends to kv j <= i + q_offset
-    q_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0) + qb * block_q + q_offset
-    base_k_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Only kv blocks that overlap the causal window contribute.
-    n_kv = pl.cdiv(kv_len, block_k)
-    hi = jnp.minimum(
-        (qb * block_q + block_q - 1 + q_offset) // block_k + 1, n_kv)
+    # causal: query i attends to kv j <= i + q_offset; skip blocks
+    # entirely above the diagonal
+    q_hi = qb * block_q + block_q - 1 + q_offset
 
-    def body(kb, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(kb * block_k <= q_hi)
+    def _():
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [bq, bk]
-        k_ids = base_k_ids + kb * block_k
+            preferred_element_type=jnp.float32)          # [bq, bk]
+        q_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0) + qb * block_q + q_offset
+        k_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1) + kb * block_k
         mask = (q_ids >= k_ids) & (k_ids < kv_len)
         s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:, 0:1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v,
-                                    preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+        l_ref[:, 0:1] = alpha * l_ref[:, 0:1] + jnp.sum(
+            p, axis=-1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
 
-    dh = q_ref.shape[-1]
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, dh), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(kb == n_kv - 1)
+    def _():
+        l = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_groups", "scale",
@@ -101,11 +105,11 @@ def _flash_call(q, k, v, *, n_groups, scale, block_q, block_k, q_offset,
         kt = jnp.pad(kt, ((0, 0), (0, tk_pad - tk), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, tk_pad - tk), (0, 0)))
 
-    grid = (b * hq, tq_pad // block_q)
+    grid = (b * hq, tq_pad // block_q, tk_pad // block_k)
 
-    def kv_index(h, i):
+    def kv_index(h, i, kb):
         # program h = batch * hq + q_head; kv row = batch * hkv + kv_head
-        return ((h // hq) * hkv + (h % hq) // n_groups, 0, 0)
+        return ((h // hq) * hkv + (h % hq) // n_groups, kb, 0)
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, block_q=block_q, block_k=block_k,
@@ -114,18 +118,24 @@ def _flash_call(q, k, v, *, n_groups, scale, block_q, block_k, q_offset,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda h, i: (h, i, 0),
+            pl.BlockSpec((1, block_q, dh), lambda h, i, kb: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, dh), kv_index,
+            pl.BlockSpec((1, block_k, dh), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, dh), kv_index,
+            pl.BlockSpec((1, block_k, dh), kv_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda h, i: (h, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, dh),
+                               lambda h, i, kb: (h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * hq, tq_pad, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # m
+            pltpu.VMEM((block_q, 128), jnp.float32),   # l
+            pltpu.VMEM((block_q, dh), jnp.float32),    # acc
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * tq * tk * dh // 2,
             bytes_accessed=2 * (qt.size + kt.size + vt.size),
@@ -138,8 +148,9 @@ def _flash_call(q, k, v, *, n_groups, scale, block_q, block_k, q_offset,
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     q_offset: int = 0,
-                    block_q: int = 256, block_k: int = 256) -> jax.Array:
-    """Causal flash attention with implicit GQA.
+                    block_q: int = 256, block_k: int = 512) -> jax.Array:
+    """Causal flash attention with implicit GQA and blockwise KV
+    streaming (context length bounded by HBM, not VMEM).
 
     Args:
       q: [B, Tq, Hq, Dh]; k/v: [B, Tk, Hkv, Dh] with Hq % Hkv == 0.
