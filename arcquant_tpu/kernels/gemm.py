@@ -286,7 +286,9 @@ def gemm_dequant(xa: jax.Array,
     if fmt == "w4":
         xa = split_even_odd(xa)
     x = xa.astype(jnp.bfloat16)
-    bk = bk or _pick_block(kq, (2048, 1024, 512, 256))
+    if bk == 0:
+        from ..quant.packing import best_k_block
+        bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
     bn = bn or _pick_block(n, (512, 256, 128))
     if bm == 0:
         bm = min(_round_up(m, 16), 512)

@@ -135,11 +135,39 @@ def dequantize_nvfp4_groups(codes: jax.Array, scales: jax.Array,
     return (g * s[..., None]).reshape(vals.shape).astype(dtype)
 
 
+def best_k_block(kq: int, cap: int = 2048, align: int = 128) -> int:
+    """Largest divisor of kq that is a multiple of `align` and ≤ cap.
+
+    The fused GEMM's k-grid steps have a fixed per-step cost, so small
+    k-blocks (the only divisors of dims like 18944 = 512·37) are slow;
+    the packer pads kq until a big block exists (see pad_kq)."""
+    best = 0
+    d = align
+    while d <= cap:
+        if kq % d == 0:
+            best = d
+        d += align
+    return best
+
+
 def pad_kq(k: int, select_num: int,
            pad_multiple: int = K_PAD_MULTIPLE) -> int:
-    """Augmented+padded contraction length."""
+    """Augmented+padded contraction length.
+
+    Pads to a multiple of 512, then keeps padding (in 512 steps, up to
+    +6%) until the padded length has a k-block divisor ≥ 1024 —
+    zero-scale pad groups cost only their compressed bytes, and big
+    k-blocks are worth far more than a few percent extra reads
+    (e.g. 18944 → 19456: +2.7% bytes, 512→1024 block)."""
     kq = k + select_num
-    return kq + (-kq) % pad_multiple
+    kq = kq + (-kq) % pad_multiple
+    limit = int(kq * 1.06)
+    cand = kq
+    while cand <= limit:
+        if best_k_block(cand) >= 1024:
+            return cand
+        cand += pad_multiple
+    return kq
 
 
 def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
