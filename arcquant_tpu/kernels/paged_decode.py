@@ -42,11 +42,14 @@ _NEG_INF = -1e30
 
 def _decode_kernel(pt_ref, sl_ref, q_ref, kc_ref, ks_ref, km_ref,
                    vc_ref, vs_ref, vm_ref, o_ref,
-                   m_ref, l_ref, acc_ref, *, page: int, sm_scale: float):
+                   m_ref, l_ref, acc_ref, *, page: int, sm_scale: float,
+                   hkv: int, gp: int):
+    """One (batch, page_slot) program covering ALL kv heads (a per-
+    head grid would mean Hkv× more tiny programs; the per-program
+    fixed cost dominates at decode shapes)."""
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    p = pl.program_id(2)
-    n_p = pl.num_programs(2)
+    p = pl.program_id(1)
+    n_p = pl.num_programs(1)
 
     @pl.when(p == 0)
     def _():
@@ -58,44 +61,44 @@ def _decode_kernel(pt_ref, sl_ref, q_ref, kc_ref, ks_ref, km_ref,
 
     @pl.when(p * page < seq_len)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32) * sm_scale   # [Gp, Dh]
-        dh2 = kc_ref.shape[-1]
+        tok_mask = (jax.lax.broadcasted_iota(
+            jnp.int32, (gp, page), 1) + p * page) < seq_len
+        for h in range(hkv):                # static unroll over heads
+            q = q_ref[0, h].astype(jnp.float32) * sm_scale  # [Gp, Dh]
 
-        def dq(codes, scale, minv):
-            c = codes[0, 0].astype(jnp.int32)            # [page, Dh/2]
-            full = jnp.concatenate([c & 0xF, c >> 4], axis=-1)
-            # param blocks carry all kv heads ([1, Hkv, page]); pick
-            # this program's head row (dynamic sublane index)
-            s = scale[0, h].reshape(page, 1)
-            mn = minv[0, h].reshape(page, 1)
-            return full.astype(jnp.float32) * s + mn     # [page, Dh]
+            def dq(codes, scale, minv, h=h):
+                c = codes[0, h].astype(jnp.int32)        # [page, Dh/2]
+                full = jnp.concatenate([c & 0xF, c >> 4], axis=-1)
+                s = scale[0, h].reshape(page, 1)
+                mn = minv[0, h].reshape(page, 1)
+                return full.astype(jnp.float32) * s + mn  # [page, Dh]
 
-        k = dq(kc_ref, ks_ref, km_ref)
-        v = dq(vc_ref, vs_ref, vm_ref)
+            k = dq(kc_ref, ks_ref, km_ref)
+            v = dq(vc_ref, vs_ref, vm_ref)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        # mask tokens at/after seq_len (the current step's token was
-        # appended before the kernel runs, so "<" is the right bound)
-        tok_ids = jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1) + p * page
-        s = jnp.where(tok_ids < seq_len, s, _NEG_INF)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            # mask tokens at/after seq_len (the current step's token
+            # was appended before the kernel runs)
+            s = jnp.where(tok_mask, s, _NEG_INF)
 
-        m_prev = m_ref[:, 0:1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        pexp = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:, 0:1] = alpha * l_ref[:, 0:1] + jnp.sum(
-            pexp, axis=-1, keepdims=True)
-        m_ref[:, 0:1] = m_new
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            pexp, v, preferred_element_type=jnp.float32)
+            r = slice(h * gp, (h + 1) * gp)
+            m_prev = m_ref[r, 0:1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            pexp = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[r, 0:1] = alpha * l_ref[r, 0:1] + jnp.sum(
+                pexp, axis=-1, keepdims=True)
+            m_ref[r, 0:1] = m_new
+            acc_ref[r, :] = acc_ref[r, :] * alpha + jnp.dot(
+                pexp, v, preferred_element_type=jnp.float32)
 
     @pl.when(p == n_p - 1)
     def _():
         l = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        out = (acc_ref[:] / l).astype(o_ref.dtype)
+        o_ref[0] = out.reshape(hkv, gp, out.shape[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("page", "sm_scale",
@@ -105,47 +108,47 @@ def _decode_call(page_table, seq_lens, q, kc, ks, km, vc, vs, vm, *,
     b, hkv, gp, dh = q.shape
     maxp = page_table.shape[1]
 
-    def kv_code_idx(b_, h, p, pt, sl):
-        return (pt[b_, p], h, 0, 0)
+    def kv_code_idx(b_, p, pt, sl):
+        return (pt[b_, p], 0, 0, 0)
 
-    def kv_param_idx(b_, h, p, pt, sl):
+    def kv_param_idx(b_, p, pt, sl):
         return (pt[b_, p], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hkv, maxp),
+        grid=(b, maxp),
         in_specs=[
-            pl.BlockSpec((1, 1, gp, dh), lambda b_, h, p, pt, sl:
-                         (b_, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, dh // 2), kv_code_idx,
+            pl.BlockSpec((1, hkv, gp, dh), lambda b_, p, pt, sl:
+                         (b_, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, page, dh // 2), kv_code_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, page), kv_param_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, page), kv_param_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, dh // 2), kv_code_idx,
+            pl.BlockSpec((1, hkv, page, dh // 2), kv_code_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, page), kv_param_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, page), kv_param_idx,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, gp, dh), lambda b_, h, p, pt, sl:
-                               (b_, h, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, hkv, gp, dh), lambda b_, p, pt, sl:
+                               (b_, 0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((gp, 128), jnp.float32),   # m
-            pltpu.VMEM((gp, 128), jnp.float32),   # l
-            pltpu.VMEM((gp, dh), jnp.float32),    # acc
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),   # m
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),   # l
+            pltpu.VMEM((hkv * gp, dh), jnp.float32),    # acc
         ],
     )
     kernel = functools.partial(_decode_kernel, page=page,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale, hkv=hkv, gp=gp)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, gp, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(page_table, seq_lens, q, kc, ks, km, vc, vs, vm)
 
