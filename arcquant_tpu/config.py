@@ -10,7 +10,7 @@ module centralizes all of them (SURVEY.md §5 config note).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 # ---------------------------------------------------------------------------

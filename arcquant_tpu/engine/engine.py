@@ -23,7 +23,6 @@ token loop except the host-side page allocator (scheduler.py).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -35,7 +34,6 @@ from ..models import llama, quantized
 from ..cache import paged
 from ..kernels.attention import flash_attention
 from ..kernels.paged_decode import paged_decode
-from ..kernels import quantize as qk
 
 
 @dataclass(frozen=True)

@@ -10,7 +10,7 @@ perplexity is meaningful and reproducible.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -14,8 +14,7 @@ only a pipeline check, not a model metric).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ w4 activation layout is therefore "even ks first, then odd ks"
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -17,12 +17,9 @@ scalar.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig
 from ..quant import numerics as N
 from ..quant import packing
 

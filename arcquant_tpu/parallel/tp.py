@@ -27,8 +27,7 @@ local shards and XLA overlaps the psum with subsequent compute.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, NamedTuple, Optional
+from typing import Any, Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig, QuantConfig
 from ..models import llama
-from ..models.quantized import SiteCalib, QUANT_SITES
+from ..models.quantized import SiteCalib
 from ..quant import packing, numerics as N
 from ..kernels import gemm as gk
 
