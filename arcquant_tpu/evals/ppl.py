@@ -56,25 +56,38 @@ def eval_ppl(cfg: ModelConfig, params, token_stream: jax.Array,
                 "eval_ppl got a QuantConfig but raw bf16 layer params; "
                 "quantize first with quantized.quantize_model_params")
 
+        # layers with the same per-site select counts share one
+        # compiled function (identical shapes; the per-layer reorder
+        # indices are traced arguments) — with identity calibration
+        # that is ONE compile for the whole model
+        from ..models.quantized import SiteCalib
+        _sig_cache = {}
+
         def make_layer_fn(i):
-            lp = params["layers"][i]
             lc = calib[i]
-
-            @jax.jit
-            def f(x):
-                out, _ = quantized.quant_layer_forward(
-                    cfg, lp, x, cos, sin, lc, qcfg)
-                return out
-            return f
+            sig = tuple(sorted((s, c.select_num) for s, c in lc.items()))
+            if sig not in _sig_cache:
+                @jax.jit
+                def f(lp, ridxs, x, sig=sig):
+                    lc2 = {site: SiteCalib(ridxs[site], sel)
+                           for site, sel in sig}
+                    out, _ = quantized.quant_layer_forward(
+                        cfg, lp, x, cos, sin, lc2, qcfg)
+                    return out
+                _sig_cache[sig] = f
+            fn = _sig_cache[sig]
+            lp = params["layers"][i]
+            ridxs = {site: c.reorder_index for site, c in lc.items()}
+            return lambda x: fn(lp, ridxs, x)
     else:
+        @jax.jit
+        def _bf16_layer(lp, x):
+            out, _ = llama.layer_forward(cfg, lp, x, cos, sin)
+            return out
+
         def make_layer_fn(i):
             lp = params["layers"][i]
-
-            @jax.jit
-            def f(x):
-                out, _ = llama.layer_forward(cfg, lp, x, cos, sin)
-                return out
-            return f
+            return lambda x: _bf16_layer(lp, x)
 
     @jax.jit
     def nll(x, t):
