@@ -50,6 +50,12 @@ class QuantConfig:
     # qLinearLayer.py:26) or "channel" (per-output-channel, finer;
     # required for the engine's fused QKV / gate-up packs).
     w_scale: str = "tensor"
+    # Quantize the LM head (W4A16-style: packed NVFP4 weight, exact
+    # bf16 activations). The reference keeps the head bf16
+    # (model_utils.py swaps only decoder layers); at decode the bf16
+    # head is ~8% of the whole step's HBM traffic on 150k-vocab
+    # models, so the engine can opt in.
+    quantize_lm_head: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -122,6 +122,13 @@ class InferenceEngine:
                 for i, lp in enumerate(params["layers"])]
         else:
             self.qparams = params
+        if qcfg.quantize_lm_head and qcfg.quant_type == "NVFP4":
+            from ..quant import packing
+            head = self.qparams.get("lm_head", self.qparams["embed"])
+            ridx = jnp.arange(head.shape[1], dtype=jnp.int32)
+            self.qparams["lm_head_packed"] = packing.pack_weight_arc(
+                head, ridx, 0, fmt=qcfg.weight_fmt,
+                w_scale=qcfg.w_scale)
         self._prefill_jit: Dict[Tuple[int, int], Any] = {}
         self._decode_jit = None
         self._scan_jit: Dict[Any, Any] = {}
@@ -155,6 +162,19 @@ class InferenceEngine:
         }
         return cls(cfg, qparams, calib, qcfg, ecfg,
                    quantize_params=False)
+
+    def _head_logits(self, qparams, x2d):
+        """LM head: bf16 dot, or W4A16 packed GEMM when the head is
+        quantized (exact activations: pad x to kq, unit act scale)."""
+        if "lm_head_packed" in qparams:
+            from ..kernels import gemm as gk
+            pw = qparams["lm_head_packed"]
+            xp = jnp.pad(x2d.astype(jnp.bfloat16),
+                         ((0, 0), (0, pw.kq - x2d.shape[-1])))
+            return gk.gemm_dequant(xp, pw, jnp.float32(1.0),
+                                   out_dtype=jnp.float32)
+        head = qparams.get("lm_head", qparams["embed"])
+        return jnp.dot(x2d, head.T, preferred_element_type=jnp.float32)
 
     # -- state ------------------------------------------------------------
 
@@ -201,8 +221,7 @@ class InferenceEngine:
         last = jnp.take_along_axis(
             x, jnp.maximum(lens - 1, 0)[:, None, None].astype(jnp.int32)
             .repeat(x.shape[-1], -1), axis=1)[:, 0]
-        head = qparams.get("lm_head", qparams["embed"])
-        logits = jnp.dot(last, head.T, preferred_element_type=jnp.float32)
+        logits = self._head_logits(qparams, last)
         return logits, cache
 
     def _decode_forward(self, qparams, cache, page_table, seq_lens,
@@ -234,8 +253,7 @@ class InferenceEngine:
             x = x + _mlp(cfg, p, h, lc, qcfg)
 
         x = llama.rms_norm(x[:, 0], qparams["final_norm"], cfg.rms_eps)
-        head = qparams.get("lm_head", qparams["embed"])
-        logits = jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+        logits = self._head_logits(qparams, x)
         return logits, cache, new_lens
 
     # -- public jitted steps ----------------------------------------------

@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--quant", default="NVFP4",
                     choices=["NVFP4", "BF16"],
                     help="BF16 runs the unquantized engine (baseline)")
+    ap.add_argument("--quant_head", action="store_true",
+                    help="quantize the LM head (W4A16)")
     ap.add_argument("--select_frac", type=float, default=0.0,
                     help="ARC outlier fraction (calibration-free runs)")
     ap.add_argument("--layers", type=int, default=0,
@@ -84,7 +86,8 @@ def main():
         cfg = cfg.replace(num_layers=args.layers)
     qcfg = QuantConfig(quant_type=args.quant, use_kernels=True,
                        weight_fmt=args.weight_fmt, act_scale="row",
-                       w_scale="channel")
+                       w_scale="channel",
+                       quantize_lm_head=args.quant_head)
     calib = quantized.identity_calib(cfg, select_frac=args.select_frac)
     max_seq = args.prefill_seq_len + args.decode_steps + 8
     ecfg = EngineConfig(max_batch=args.batch_size,

@@ -161,3 +161,29 @@ def test_eos_stops(setup):
                        eos_id=eos))
     done = bat.run()
     assert done[0].output == base[:2]
+
+
+def test_quantized_lm_head_close(setup):
+    """W4A16 LM head must produce logits close to the bf16 head and
+    identical generation structure."""
+    cfg, params, calib, qcfg, eng = setup
+    qcfg2 = qcfg.replace(quantize_lm_head=True, use_kernels=True)
+    from arcquant_tpu.engine import InferenceEngine, EngineConfig
+    eng2 = InferenceEngine(cfg, params, calib, qcfg2,
+                           EngineConfig(max_batch=2, max_seq_len=64,
+                                        page_size=16))
+    toks = np.zeros((2, 8), np.int32)
+    toks[0, :5] = [5, 17, 301, 42, 8]
+    lens = jnp.asarray([5, 0], jnp.int32)
+    # reference logits from an engine without head quantization but
+    # with the kernel path, so only the head differs
+    qcfg3 = qcfg.replace(use_kernels=True)
+    eng3 = InferenceEngine(cfg, params, calib, qcfg3,
+                           EngineConfig(max_batch=2, max_seq_len=64,
+                                        page_size=16))
+    l2, _ = eng2.prefill(eng2.new_state(), jnp.asarray(toks), lens)
+    l3, _ = eng3.prefill(eng3.new_state(), jnp.asarray(toks), lens)
+    a = np.asarray(l2[0], np.float64)
+    b = np.asarray(l3[0], np.float64)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.995, cos
