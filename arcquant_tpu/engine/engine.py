@@ -126,9 +126,36 @@ class InferenceEngine:
             from ..quant import packing
             head = self.qparams.get("lm_head", self.qparams["embed"])
             ridx = jnp.arange(head.shape[1], dtype=jnp.int32)
-            self.qparams["lm_head_packed"] = packing.pack_weight_arc(
-                head, ridx, 0, fmt=qcfg.weight_fmt,
-                w_scale=qcfg.w_scale)
+            # pack in row chunks: the f32 transients of a one-shot pack
+            # of a 150k-vocab head spike ~6 GB
+            gs = (None if qcfg.w_scale == "channel"
+                  else jnp.max(jnp.abs(head)).astype(jnp.float32)
+                  / 2688.0)
+            chunks = []
+            step = 16384
+            for i in range(0, head.shape[0], step):
+                pw = packing.pack_weight_arc(
+                    head[i:i + step], ridx, 0, fmt=qcfg.weight_fmt,
+                    w_scale=qcfg.w_scale, global_scale=gs)
+                # force materialization so the f32 pack transients of
+                # successive chunks don't coexist (block_until_ready
+                # does not wait through the axon tunnel; a fetch does)
+                float(jnp.sum(pw.scales[0, :8].astype(jnp.float32)))
+                chunks.append(pw)
+            cls0 = type(chunks[0])
+            self.qparams["lm_head_packed"] = cls0(
+                codes=jnp.concatenate([c.codes for c in chunks], axis=1),
+                scales=jnp.concatenate([c.scales for c in chunks],
+                                       axis=1),
+                global_scale=(jnp.concatenate(
+                    [c.global_scale.reshape(-1) for c in chunks])
+                    if qcfg.w_scale == "channel"
+                    else chunks[0].global_scale),
+                bias=None)
+            # the bf16 head is never read again (untied checkpoints
+            # free ~1 GB at 150k vocab; tied ones keep embed for the
+            # token lookup)
+            self.qparams.pop("lm_head", None)
         self._prefill_jit: Dict[Tuple[int, int], Any] = {}
         self._decode_jit = None
         self._scan_jit: Dict[Any, Any] = {}
