@@ -95,21 +95,23 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
        minv f32 [...]) with dequant x ≈ codes_unpacked * scale + minv.
 
     Numerics match reference asym_quantize_and_pack_i4
-    (kv_cache.py:22-33): scale = (max-min).clamp(1e-5)/15,
-    zero = round(-min/scale); minv here = -zero*scale (so the stored
-    zero stays on the int grid exactly as the reference's does).
+    (kv_cache.py:22-33) exactly: scale = (max-min).clamp(1e-5)/15,
+    continuous zero = -xmin (NOT rounded to the int grid), single
+    rounding q = round((x - xmin)/scale), dequant q*scale + xmin.
+    Only the byte layout differs (split-half packing here vs the
+    reference's even/odd interleave, kv_cache.py:31 — layout only,
+    same codes).
     """
     d = x.shape[-1]
     xf = x.astype(jnp.float32)
     xmax = jnp.max(xf, axis=-1)
     xmin = jnp.min(xf, axis=-1)
     scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
-    zero = jnp.clip(jnp.round(-xmin / scale), 0.0, 15.0)
-    q = jnp.clip(jnp.round(xf / scale[..., None]) + zero[..., None],
+    q = jnp.clip(jnp.round((xf - xmin[..., None]) / scale[..., None]),
                  0.0, 15.0).astype(jnp.uint8)
     lo, hi = q[..., :d // 2], q[..., d // 2:]
     codes = lo | (hi << 4)
-    return codes, scale, -zero * scale
+    return codes, scale, xmin
 
 
 def unpack_codes(codes: jax.Array) -> jax.Array:

@@ -47,6 +47,16 @@ class EngineConfig:
     def pages_per_seq(self) -> int:
         return -(-self.max_seq_len // self.page_size)
 
+    def __post_init__(self):
+        # The static page layout assigns pages 1..max_batch*pps; a
+        # smaller explicit pool would make appends silently drop
+        # (mode='drop') and decode read garbage pages (round-1 ADVICE).
+        need = self.max_batch * self.pages_per_seq + 1
+        if self.num_pages and self.num_pages < need:
+            raise ValueError(
+                f"num_pages={self.num_pages} < max_batch*pages_per_seq"
+                f"+1 = {need} required by the static page layout")
+
     def total_pages(self) -> int:
         if self.num_pages:
             return self.num_pages

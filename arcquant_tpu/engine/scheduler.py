@@ -41,6 +41,7 @@ class Request:
     request_id: int = field(default_factory=itertools.count().__next__)
     output: List[int] = field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -75,19 +76,32 @@ class ContinuousBatcher:
         free = self._free_slots()
         if not free or not self.queue:
             return
+        # KV-capacity admission check: reject prompts that cannot fit
+        # (the reference raises on overflow, kv_cache.py:174-188; a
+        # server must not silently drop the prompt head — round-1
+        # ADVICE). max_seq_len - 1 leaves room for >=1 decoded token.
+        cap = self.engine.ecfg.max_seq_len - 1
         joining: List[tuple] = []
         while free and self.queue:
-            slot = free.pop(0)
             req = self.queue.pop(0)
+            if len(req.prompt) > cap:
+                req.done = True
+                req.error = (f"prompt length {len(req.prompt)} exceeds "
+                             f"KV capacity {cap}")
+                self.finished.append(req)
+                continue
+            slot = free.pop(0)
             self.slots[slot] = req
             joining.append((slot, req))
+        if not joining:
+            return
         b = self.engine.ecfg.max_batch
         tmax = _bucket(max(len(r.prompt) for _, r in joining))
         tmax = min(tmax, self.engine.ecfg.max_seq_len)
         toks = np.zeros((b, tmax), np.int32)
         lens = np.zeros((b,), np.int32)
         for slot, req in joining:
-            p = req.prompt[-tmax:]
+            p = req.prompt
             toks[slot, :len(p)] = p
             lens[slot] = len(p)
         # Prefill only joining slots (len-0 rows are inert: their
@@ -110,12 +124,12 @@ class ContinuousBatcher:
     def step(self) -> List[Request]:
         """Admit + one decode step. Returns requests finished in this
         step."""
+        before = len(self.finished)
         self._admit()
         active_slots = [i for i, s in enumerate(self.slots)
                         if s is not None]
         if not active_slots:
-            return []
-        before = len(self.finished)
+            return self.finished[before:]
         # record the token produced by the previous step (or prefill)
         for i in active_slots:
             req = self.slots[i]

@@ -113,9 +113,12 @@ def quantize_layer_params_fused(layer_p: Params,
                                 qcfg: QuantConfig) -> Params:
     """Engine variant: q/k/v fuse into ONE packed GEMM (concatenated
     output channels), as do gate/up — 4 GEMMs per layer instead of 7.
-    Requires qcfg.w_scale == "channel" for the fused pack to keep
-    per-projection scale quality (with per-channel scales, fused and
-    unfused numerics are bit-identical)."""
+
+    Multi-projection packs AUTO-UPGRADE w_scale "tensor" -> "channel":
+    one shared tensor scale across concatenated projections would
+    silently degrade accuracy vs the unfused path (round-1 ADVICE).
+    With qcfg.w_scale == "channel" everywhere, fused and unfused
+    numerics are bit-identical."""
     def cat(names):
         w = jnp.concatenate([layer_p[n]["w"] for n in names], axis=0)
         bs = [layer_p[n].get("b") for n in names]
@@ -132,15 +135,16 @@ def quantize_layer_params_fused(layer_p: Params,
     for name, (projs, site) in specs.items():
         p = cat(projs) if len(projs) > 1 else layer_p[projs[0]]
         calib = layer_calib[site]
+        w_scale = "channel" if len(projs) > 1 else qcfg.w_scale
         if qcfg.quant_type == "BF16":
             out[name] = p
         elif qcfg.use_kernels and qcfg.quant_type == "NVFP4":
             out[name] = _quantize_linear_packed(
-                p, calib, qcfg.weight_fmt, qcfg.w_scale)
+                p, calib, qcfg.weight_fmt, w_scale)
         else:
             out[name] = _quantize_linear_fake(
                 p, calib, qcfg.quant_type,
-                per_channel=qcfg.w_scale == "channel")
+                per_channel=w_scale == "channel")
     return out
 
 

@@ -264,8 +264,16 @@ class TPInferenceEngine(InferenceEngine):
                 idx = jnp.maximum(lens_ - 1, 0)[:, None, None].astype(
                     jnp.int32).repeat(x.shape[-1], -1)
                 last = jnp.take_along_axis(x, idx, axis=1)[:, 0]
-            logits = jnp.dot(last, head.T,
-                             preferred_element_type=jnp.float32)
+            if head_is_packed:
+                # quantized W4A16 head (qcfg.quantize_lm_head): the
+                # parent __init__ packed it and popped 'lm_head'
+                xp = jnp.pad(last.astype(jnp.bfloat16),
+                             ((0, 0), (0, head.kq - last.shape[-1])))
+                logits = gk.gemm_dequant(xp, head, jnp.float32(1.0),
+                                         out_dtype=jnp.float32)
+            else:
+                logits = jnp.dot(last, head.T,
+                                 preferred_element_type=jnp.float32)
             if is_decode:
                 return logits, new_cache, new_lens
             return logits, new_cache
@@ -275,12 +283,18 @@ class TPInferenceEngine(InferenceEngine):
             out_specs = (P(), out_cache_spec, P())
         else:
             out_specs = (P(), out_cache_spec)
+        if "lm_head_packed" in self.qparams:
+            head = self.qparams["lm_head_packed"]
+            head_is_packed = True
+        else:
+            head = self.qparams.get("lm_head", self.qparams["embed"])
+            head_is_packed = False
+        head_spec = jax.tree.map(lambda _: P(), head)
         f = shard_map(
             body, mesh=self.mesh,
-            in_specs=(P(), P(), P(), lspec, cache_spec, P(), P(), P(),
-                      P()),
+            in_specs=(P(), P(), head_spec, lspec, cache_spec, P(), P(),
+                      P(), P()),
             out_specs=out_specs, check_vma=False)
-        head = self.qparams.get("lm_head", self.qparams["embed"])
         act = active if active is not None else \
             jnp.ones((tokens.shape[0],), bool)
         args = (self.qparams["embed"], self.qparams["final_norm"],

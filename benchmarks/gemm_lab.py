@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""GEMM kernel experiment lab (round 2): find the w8/w4 decode-GEMM
+config that reaches the HBM weight-stream floor.
+
+Self-contained Pallas variants are timed against the production
+kernel (arcquant_tpu/kernels/gemm.py) at decode shapes, on the real
+chip, via the two-length-scan harness (utils/timing.bench_op).
+
+Usage:
+  python benchmarks/gemm_lab.py --exp blocks   # (bk, bn) sweep
+  python benchmarks/gemm_lab.py --exp scale    # scale-mul strategies
+  python benchmarks/gemm_lab.py --exp w4       # w4 decode variants
+  python benchmarks/gemm_lab.py --exp shapes   # qwen2.5-7b shapes
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from arcquant_tpu.quant import packing
+from arcquant_tpu.kernels import gemm, quantize as qk
+from arcquant_tpu.utils.timing import bench_op
+
+
+def _mk_w8(key, m, n, k, ke=0):
+    x = jax.random.normal(key, (m, k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (n, k),
+                          jnp.bfloat16) * 0.02
+    ridx = jnp.arange(k, dtype=jnp.int32)
+    pw = packing.pack_weight_arc(w, ridx, ke, fmt="w8")
+    xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
+    return x, w, pw, xa.astype(jnp.bfloat16), gx
+
+
+# ---------------------------------------------------------------------------
+# w8 variants
+# ---------------------------------------------------------------------------
+
+def w8_variant(x, codes, scales_u8, gs, gw, *, bm, bn, bk, mode):
+    """One fused dequant GEMM with a selectable decode strategy.
+
+    mode:
+      base   — production math: i8->f32, expand scales, f32 mul, bf16
+      mul3d  — scale multiply via 3D reshape (no materialized expand)
+      bf16   — decode+scale in bf16 domain
+      noscale— skip the group-scale mul entirely (ALU floor probe)
+    """
+    m, n = x.shape[0], codes.shape[1]
+    kq = codes.shape[0]
+    n_k = kq // bk
+
+    def kernel(gs_ref, gw_ref, x_ref, c_ref, s_ref, o_ref, acc_ref):
+        kb = pl.program_id(2)
+
+        @pl.when(kb == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        if mode == "noscale":
+            w = c_ref[:].astype(jnp.bfloat16)
+        elif mode == "mul3d":
+            wf = c_ref[:].astype(jnp.float32)
+            s = gemm._decode_ue4m3_f32(
+                s_ref[:].astype(jnp.int32)) * 0.5     # [bk/16, bn]
+            w3 = wf.reshape(bk // 16, 16, bn) * s[:, None, :]
+            w = w3.reshape(bk, bn).astype(jnp.bfloat16)
+        elif mode == "bf16":
+            wf = c_ref[:].astype(jnp.float32).astype(jnp.bfloat16)
+            s = (gemm._decode_ue4m3_f32(s_ref[:].astype(jnp.int32))
+                 * 0.5).astype(jnp.bfloat16)
+            se = gemm._expand_groups(s, 16)
+            w = wf * se
+        else:
+            wf = c_ref[:].astype(jnp.float32)
+            s = gemm._decode_ue4m3_f32(
+                s_ref[:].astype(jnp.int32)) * 0.5
+            w = (wf * gemm._expand_groups(s, 16)).astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(x_ref[:], w,
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(kb == n_k - 1)
+        def _():
+            o_ref[:] = (acc_ref[:] * gs_ref[:] * gw_ref[:]).astype(
+                jnp.bfloat16)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 16, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * kq,
+            bytes_accessed=codes.size + scales_u8.size + x.size * 2
+            + m * n * 2, transcendentals=0),
+    )(gs, gw, x, codes, scales_u8)
+
+
+def exp_blocks(m, n, k):
+    x, w, pw, xa, gx = _mk_w8(jax.random.PRNGKey(0), m, n, k)
+    su8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+    gs = jnp.full((max(m, 16), 1), float(gx), jnp.float32)
+    gw = jnp.broadcast_to(
+        pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
+    bm = max(m, 16)
+    xp = jnp.pad(xa, ((0, bm - m), (0, 0))) if bm != m else xa
+    wT = w.T.copy()
+    t_base = bench_op(lambda xx: jnp.dot(
+        xx, wT, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+        x)
+    print(f"bf16 jnp.dot: {t_base*1e6:8.2f} us")
+    kq = pw.kq
+    floor = (pw.codes.size + su8.size) / 819e9
+    print(f"w8 weight-stream floor @819GB/s: {floor*1e6:8.2f} us")
+    cfgs = [(2048, 512), (1024, 1024), (2048, 1024), (4096, 512),
+            (1024, 2048), (2048, 2048), (512, 4096), (4096, 1024)]
+    for bk, bn in cfgs:
+        if kq % bk or n % bn:
+            continue
+        try:
+            t = bench_op(lambda xx, bk=bk, bn=bn: w8_variant(
+                xx, pw.codes, su8, gs, gw, bm=bm, bn=bn, bk=bk,
+                mode="base"), xp)
+            print(f"w8 base bk={bk:5d} bn={bn:5d}: {t*1e6:8.2f} us  "
+                  f"({t_base/t:.2f}x bf16, {floor/t*100:.0f}% of floor)")
+        except Exception as e:
+            print(f"w8 base bk={bk:5d} bn={bn:5d}: FAIL {type(e).__name__}: {e}"[:200])
+
+
+def exp_scale(m, n, k, bk, bn):
+    x, w, pw, xa, gx = _mk_w8(jax.random.PRNGKey(0), m, n, k)
+    su8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+    bm = max(m, 16)
+    gs = jnp.full((bm, 1), float(gx), jnp.float32)
+    gw = jnp.broadcast_to(
+        pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
+    xp = jnp.pad(xa, ((0, bm - m), (0, 0))) if bm != m else xa
+    floor = (pw.codes.size + su8.size) / 819e9
+    for mode in ("base", "mul3d", "bf16", "noscale"):
+        try:
+            t = bench_op(lambda xx, mode=mode: w8_variant(
+                xx, pw.codes, su8, gs, gw, bm=bm, bn=bn, bk=bk,
+                mode=mode), xp)
+            print(f"w8 {mode:8s} bk={bk} bn={bn}: {t*1e6:8.2f} us "
+                  f"({floor/t*100:.0f}% of floor)")
+        except Exception as e:
+            print(f"w8 {mode:8s}: FAIL {type(e).__name__}: {e}"[:200])
+
+
+def exp_shapes():
+    """qwen2.5-7b per-projection decode GEMMs, M=4 (bs=4 decode)."""
+    shapes = {
+        "qkv": (4608, 3584), "o": (3584, 3584),
+        "gateup": (37888, 3584), "down": (3584, 18944),
+    }
+    for name, (n, k) in shapes.items():
+        x, w, pw, xa, gx = _mk_w8(jax.random.PRNGKey(0), 4, n, k)
+        su8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+        floor = (pw.codes.size + su8.size) / 819e9
+        t = bench_op(lambda xx: gemm.gemm_dequant(xx, pw, gx), xa)
+        wT = w.T.copy()
+        tb = bench_op(lambda xx: jnp.dot(
+            xx, wT, preferred_element_type=jnp.float32)
+            .astype(jnp.bfloat16), x)
+        print(f"{name:7s} N={n:6d} K={k:6d} kq={pw.kq:6d}: "
+              f"prod {t*1e6:8.2f} us, bf16 {tb*1e6:8.2f} us "
+              f"({tb/t:.2f}x, {floor/t*100:.0f}% of floor)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", default="blocks",
+                    choices=["blocks", "scale", "w4", "shapes"])
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--bk", type=int, default=2048)
+    ap.add_argument("--bn", type=int, default=512)
+    a = ap.parse_args()
+    print(f"backend={jax.default_backend()}")
+    if a.exp == "blocks":
+        exp_blocks(a.m, a.n, a.k)
+    elif a.exp == "scale":
+        exp_scale(a.m, a.n, a.k, a.bk, a.bn)
+    elif a.exp == "shapes":
+        exp_shapes()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,12 +155,15 @@ def test_eos_stops(setup):
     cfg, params, calib, qcfg, eng = setup
     base = eng.generate([[5, 17, 301]], max_new_tokens=8)[0]
     assert len(base) == 8
-    eos = base[2]
+    # pick an eos that does not collide with any earlier token, so the
+    # expected output is exactly the prefix before its first occurrence
+    cut = next(i for i in range(1, 8) if base[i] not in base[:i])
+    eos = base[cut]
     bat = ContinuousBatcher(eng)
     bat.submit(Request(prompt=[5, 17, 301], max_new_tokens=8,
                        eos_id=eos))
     done = bat.run()
-    assert done[0].output == base[:2]
+    assert done[0].output == base[:cut]
 
 
 def test_quantized_lm_head_close(setup):
@@ -187,3 +190,33 @@ def test_quantized_lm_head_close(setup):
     b = np.asarray(l3[0], np.float64)
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.995, cos
+
+
+def test_batcher_rejects_oversized_prompt(setup):
+    """An over-capacity prompt must be rejected with an error, never
+    silently truncated (round-1 ADVICE; reference raises,
+    kv_cache.py:174-188)."""
+    cfg, params, calib, qcfg, eng = setup
+    cap = eng.ecfg.max_seq_len  # 64
+    bat = ContinuousBatcher(eng)
+    big = Request(prompt=list(range(1, cap + 10)), max_new_tokens=4)
+    ok = Request(prompt=[5, 17, 301], max_new_tokens=3)
+    bat.submit(big)
+    bat.submit(ok)
+    done = bat.run()
+    assert len(done) == 2
+    by_id = {r.request_id: r for r in done}
+    assert by_id[big.request_id].error is not None
+    assert by_id[big.request_id].output == []
+    assert by_id[ok.request_id].error is None
+    assert len(by_id[ok.request_id].output) == 3
+
+
+def test_engine_config_validates_num_pages():
+    import pytest as _pytest
+    from arcquant_tpu.engine import EngineConfig
+    with _pytest.raises(ValueError):
+        EngineConfig(max_batch=2, max_seq_len=64, page_size=16,
+                     num_pages=3)
+    # exactly enough is fine
+    EngineConfig(max_batch=2, max_seq_len=64, page_size=16, num_pages=9)
