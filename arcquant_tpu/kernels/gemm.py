@@ -151,10 +151,16 @@ def _gemm_w8_kernel(gs_ref, gw_ref, x_ref, codes_ref, scales_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    bk, bn = codes_ref.shape
     w = codes_ref[:].astype(jnp.float32)             # [bk, bn]
     # scale/2 folds the mag2 doubling back out
     s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32)) * 0.5
-    w = (w * _expand_groups(s, 16)).astype(jnp.bfloat16)
+    # group-scale multiply via a 3D sublane-split reshape — Mosaic
+    # broadcasts s over the 16 sublanes in the multiply itself, vs the
+    # materialized _expand_groups copy (measured 28.7 -> 23.4 us at
+    # M=32 N=K=4096: 93% of the HBM weight-stream floor)
+    w = (w.reshape(bk // 16, 16, bn) * s[:, None, :]).reshape(
+        bk, bn).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_k - 1)
@@ -179,6 +185,45 @@ def _pick_block(dim: int, candidates) -> int:
         if dim % c == 0:
             return c
     return dim
+
+
+def _best_n_block(n: int, bk: int, cap_bytes: int) -> int:
+    """Largest divisor of n that is a multiple of 128 with a
+    bk x bn i8 code block under cap_bytes."""
+    best = 0
+    d = 128
+    while d <= n:
+        if n % d == 0 and d * bk <= cap_bytes:
+            best = d
+        d += 128
+    return best
+
+
+# Code-block byte budget: ~5 MB blocks double-buffer comfortably in
+# the ~16 MB of VMEM alongside scales/x/acc.
+_BLOCK_CAP = 5 * 2 ** 20
+
+
+def _decode_blocks_w8(m: int, kq: int, n: int):
+    """Decode-shape (small M) block heuristic for the w8 kernel,
+    measured on v5e (benchmarks/gemm_lab.py):
+      - full-N stripes stream codes contiguously; cap bn so the block
+        stays under ~5 MB
+      - bk=512 wins at moderate N (pipeline warmup is one block);
+        bk=1024 wins for very wide N (fewer k-steps per j-stripe)
+    Measured: qkv 81% / o 77% / gateup 102% / down 87% of the 819 GB/s
+    weight-stream floor (vs 70-80% for the round-1 square blocks)."""
+    if n >= 16384 and kq % 1024 == 0:
+        bk = 1024
+    elif kq % 512 == 0:
+        bk = 512
+    else:
+        from ..quant.packing import best_k_block
+        bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
+    bn = _best_n_block(n, bk, _BLOCK_CAP)
+    if bn == 0:
+        bn = _pick_block(n, (512, 256, 128))
+    return bk, bn
 
 
 def split_even_odd(xa: jax.Array) -> jax.Array:
@@ -286,6 +331,8 @@ def gemm_dequant(xa: jax.Array,
     if fmt == "w4":
         xa = split_even_odd(xa)
     x = xa.astype(jnp.bfloat16)
+    if fmt == "w8" and m <= 64 and bk == 0 and bn == 0:
+        bk, bn = _decode_blocks_w8(m, kq, n)
     if bk == 0:
         from ..quant.packing import best_k_block
         bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))

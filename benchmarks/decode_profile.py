@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Decode-step component budget at qwen2.5-7b bs=4 shapes.
+
+Times each per-layer component of the decode step in isolation via
+the two-length-scan harness, so the 28-layer step time can be
+attributed: packed GEMMs, activation quantize sites, rmsnorm, rope,
+KV append, paged attention, LM head, sampling.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from arcquant_tpu.config import get_model_config, QuantConfig
+from arcquant_tpu.models import llama, quantized
+from arcquant_tpu.quant import packing
+from arcquant_tpu.kernels import gemm, quantize as qk
+from arcquant_tpu.kernels.paged_decode import paged_decode
+from arcquant_tpu.cache import paged
+from arcquant_tpu.utils.timing import bench_op
+
+
+def main():
+    cfg = get_model_config("qwen2.5-7b")
+    b = 4
+    key = jax.random.PRNGKey(0)
+    d, qs, kvs, inter = (cfg.hidden_size, cfg.q_size, cfg.kv_size,
+                         cfg.intermediate_size)
+    x = jax.random.normal(key, (b, d), jnp.bfloat16)
+
+    def t(name, f, x0, *rest, mult=1):
+        dt = bench_op(f, x0, *rest)
+        print(f"{name:28s} {dt*1e6:9.2f} us  x{mult:3d} ="
+              f" {dt*1e6*mult:9.1f} us", flush=True)
+        return dt * mult
+
+    total = 0.0
+    # --- per-layer GEMMs (w8 packed) ---
+    ridx = {k: jnp.arange(k, dtype=jnp.int32)
+            for k in (d, qs, inter)}
+    shapes = {"qkv": (qs + 2 * kvs, d), "o": (d, qs),
+              "gateup": (2 * inter, d), "down": (d, inter)}
+    pws = {}
+    for name, (n, k) in shapes.items():
+        w = jax.random.normal(jax.random.PRNGKey(1), (n, k),
+                              jnp.bfloat16) * 0.02
+        pws[name] = packing.pack_weight_arc(
+            w, jnp.arange(k, dtype=jnp.int32), 0, fmt="w8")
+        float(jnp.sum(pws[name].scales[0, :8].astype(jnp.float32)))
+        del w
+        xa = jnp.zeros((b, pws[name].kq), jnp.bfloat16)
+        total += t(f"gemm {name}", lambda xx, pw: gemm.gemm_dequant(
+            xx, pw, jnp.float32(1.0)), xa, pws[name], mult=28)
+
+    # --- activation quantize sites ---
+    for name, k in (("quant attn_in/mlp_in", d), ("quant o_in", qs),
+                    ("quant down_in", inter)):
+        xq = jax.random.normal(key, (b, k), jnp.bfloat16)
+        mult = 28 * (2 if k == d else 1)
+        total += t(f"{name}", lambda xx, r: qk.quantize_x_arc(
+            xx, r, 0, kq=packing.pad_kq(k, 0))[0], xq,
+            jnp.arange(k, dtype=jnp.int32), mult=mult)
+
+    # --- rmsnorm ---
+    wn = jnp.ones((d,), jnp.bfloat16)
+    total += t("rmsnorm", lambda xx, w: llama.rms_norm(
+        xx[:, None], w, cfg.rms_eps)[:, 0], x, wn, mult=56)
+
+    # --- rope ---
+    pos = jnp.zeros((b, 1), jnp.int32) + 17
+    cos, sin = llama.rope_cos_sin(cfg, pos)
+    q4 = jax.random.normal(key, (b, 1, cfg.num_heads, cfg.head_dim),
+                           jnp.bfloat16)
+    k4 = jax.random.normal(key, (b, 1, cfg.num_kv_heads, cfg.head_dim),
+                           jnp.bfloat16)
+
+    def rope_f(q, k4, cos, sin):
+        qq, kk = llama.apply_rope(q, k4, cos, sin)
+        return qq + jnp.pad(kk, ((0, 0), (0, 0),
+                                 (0, q.shape[2] - k4.shape[2]),
+                                 (0, 0)))
+    total += t("rope(q,k)", rope_f, q4, k4, cos, sin, mult=28)
+
+    # --- KV append + paged decode ---
+    ecfg_pages = 4 * (2048 // 128) + 1
+    cache = paged.init_cache(cfg.replace(num_layers=1), ecfg_pages, 128)
+    pt = 1 + (jnp.arange(4)[:, None] * 16
+              + jnp.arange(16)[None, :]).astype(jnp.int32)
+    seq_lens = jnp.full((b,), 777, jnp.int32)
+    app_pos = seq_lens[:, None]
+
+    def append_f(k4, v4):
+        c2 = paged.append_kv(cache, 0, k4.astype(jnp.float32),
+                             v4.astype(jnp.float32), pt, app_pos)
+        return c2.k_scale[0]
+    v4 = k4 + 1
+    total += t("append_kv", append_f, k4, v4, mult=28)
+
+    qd = jax.random.normal(key, (b, cfg.num_heads, cfg.head_dim),
+                           jnp.float32)
+    total += t("paged_decode", lambda qq: paged_decode(
+        qq, cache, 0, pt, seq_lens), qd, mult=28)
+
+    # --- LM head (W4A16 packed) + sampling ---
+    emb = jax.random.normal(key, (cfg.vocab_size, d),
+                            jnp.bfloat16) * 0.02
+    gs_h = jnp.max(jnp.abs(emb)).astype(jnp.float32) / 2688.0
+    hidx = jnp.arange(d, dtype=jnp.int32)
+    chunks = []
+    for i in range(0, cfg.vocab_size, 16384):
+        pw = packing.pack_weight_arc(emb[i:i + 16384], hidx, 0,
+                                     fmt="w8", global_scale=gs_h)
+        float(jnp.sum(pw.scales[0, :8].astype(jnp.float32)))
+        chunks.append(pw)
+    head_pw = type(chunks[0])(
+        codes=jnp.concatenate([c.codes for c in chunks], axis=1),
+        scales=jnp.concatenate([c.scales for c in chunks], axis=1),
+        global_scale=chunks[0].global_scale, bias=None)
+    del chunks, emb
+    xh = jnp.zeros((b, head_pw.kq), jnp.bfloat16)
+    total += t("lm_head W4A16", lambda xx, pw: gemm.gemm_dequant(
+        xx, pw, jnp.float32(1.0), out_dtype=jnp.float32), xh, head_pw,
+        mult=1)
+
+    logits = jax.random.normal(key, (b, cfg.vocab_size), jnp.float32)
+    total += t("argmax sample", lambda l: jnp.argmax(
+        l, -1)[:, None].astype(jnp.float32), logits, mult=1)
+
+    print(f"\ncomponent total: {total*1e3:.2f} ms "
+          f"(vs measured full decode step; difference = XLA glue / "
+          f"fusion wins / embed)")
+
+
+if __name__ == "__main__":
+    main()

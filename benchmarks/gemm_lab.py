@@ -16,8 +16,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import functools
-import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -179,11 +181,14 @@ def exp_shapes():
         x, w, pw, xa, gx = _mk_w8(jax.random.PRNGKey(0), 4, n, k)
         su8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
         floor = (pw.codes.size + su8.size) / 819e9
-        t = bench_op(lambda xx: gemm.gemm_dequant(xx, pw, gx), xa)
+        # weights as bench args, not closures: a closed-over array is a
+        # jaxpr constant and blows the remote-compile request size
+        t = bench_op(lambda xx, pw: gemm.gemm_dequant(xx, pw, gx),
+                     xa, pw)
         wT = w.T.copy()
-        tb = bench_op(lambda xx: jnp.dot(
+        tb = bench_op(lambda xx, wT: jnp.dot(
             xx, wT, preferred_element_type=jnp.float32)
-            .astype(jnp.bfloat16), x)
+            .astype(jnp.bfloat16), x, wT)
         print(f"{name:7s} N={n:6d} K={k:6d} kq={pw.kq:6d}: "
               f"prod {t*1e6:8.2f} us, bf16 {tb*1e6:8.2f} us "
               f"({tb/t:.2f}x, {floor/t*100:.0f}% of floor)")
