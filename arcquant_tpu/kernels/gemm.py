@@ -12,14 +12,16 @@ Two storage formats share EXACT NVFP4+ARC numerics (both store the
 same e2m1 codes + ue4m3 group scales; only the byte encoding differs):
 
   w4 ("packed", 4.5 bits/elem) — codes u8 [Kq/2, N], byte g of column
-    n packs e2m1 codes for k=2g (low nibble) / k=2g+1 (high nibble).
-    Decode uses the *magic bitcast*: for an e2m1 code c,
-       f32_bitcast(((c&7) << 22) | ((c&8) << 28)) == e2m1(c) * 2^-126
-    including the subnormal codes (the f32 denormal at e=0 lands
-    exactly on m * 2^-127 == (m*0.5) * 2^-126), so the whole 15-value
-    table decodes with 4 int ops + 1 bitcast + 1 mul — no selects.
-    The 2^126 compensation is split 2^63 (code side) × 2^63 (folded
-    into the group-scale decode) to stay inside the f32 range.
+    n packs e2m1x codes for k=2g (low nibble) / k=2g+1 (high nibble).
+    e2m1x is e2m1 with magnitude codes 0<->1 swapped at PACK time
+    (packing.e2m1_to_e2m1x): the nonzero codes {1:0.5, 2:1, 3:1.5,
+    4:2, 5:3, 6:4, 7:6} then decode with a single affine bit map
+       f32_bitcast(((c&7) << 22 | (c&8) << 28) + 0x3F000000)
+    — the mag bits land directly in the f32 exponent/mantissa fields,
+    in the NORMAL range (no denormal-flush hazard, no 2^-126
+    compensation), with the sign or'd in. Only the zero code (mag==1)
+    needs a select. ~8 VPU ops per nibble vs ~16 for the round-1
+    magic-bitcast path.
 
   w8 ("expanded", 8.5 bits/elem, default) — codes i8 [Kq, N] holding
     2×e2m1 values exactly (the magnitude set {0,.5,1,1.5,2,3,4,6}
@@ -107,24 +109,26 @@ def _gemm_w4_kernel(gs_ref, gw_ref, xe_ref, xo_ref, codes_ref,
     c = codes_ref[:].astype(jnp.int32)               # [bk2, bn]
 
     def dec(nib):
-        # e2m1 * 2^-63 (the other 2^63 rides the group scale); the
-        # subnormal codes (±0.5) need a select — TPU flushes denormals
+        # e2m1x affine decode (see module docstring): mag bits map
+        # straight into the f32 exponent/mantissa; only the zero code
+        # (mag==1 in storage order) needs a select
         mag = nib & 0x7
-        bits = (mag << 22) | ((nib & 0x8) << 28)
-        f = jax.lax.bitcast_convert_type(bits, jnp.float32) * (2.0 ** 63)
-        sgn = 1.0 - ((nib >> 3) << 1).astype(jnp.float32)
-        # 0.5 * 2^-63 == 2^-64 is a normal f32; the product with
-        # mag ∈ {0,1} stays normal (or true zero)
-        return jnp.where(mag < 2,
-                         (sgn * (2.0 ** -64)) * mag.astype(jnp.float32),
-                         f)
+        bits = ((mag << 22) | ((nib & 0x8) << 28)) + 0x3F000000
+        f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        return jnp.where(mag == 1, 0.0, f)
 
     w_even = dec(c & 0xF)
     w_odd = dec(c >> 4)
-    # group scale decoded with the 2^63 compensation folded in
-    s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32), exp_offset=63)
-    s = _expand_groups(s, 8)                         # byte-rows per group
-    w = jnp.concatenate([w_even * s, w_odd * s],
+    s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32))
+    # group-scale multiply via a 3D sublane-split reshape (same trick
+    # as the w8 kernel): Mosaic folds the 8-sublane broadcast into the
+    # multiply instead of materializing the expanded scale array
+    # (measured 55 -> 47 us at M=32 N=K=4096, gemm_lab --exp w4)
+    bk2, bn = c.shape
+    se = s[:, None, :]
+    w_even = (w_even.reshape(bk2 // 8, 8, bn) * se).reshape(bk2, bn)
+    w_odd = (w_odd.reshape(bk2 // 8, 8, bn) * se).reshape(bk2, bn)
+    w = jnp.concatenate([w_even, w_odd],
                         axis=0).astype(jnp.bfloat16)  # [bk, bn]
     xx = jnp.concatenate([xe_ref[:], xo_ref[:]], axis=1)  # [bm, bk]
     acc_ref[:] += jnp.dot(xx, w, preferred_element_type=jnp.float32)
@@ -370,9 +374,10 @@ def dequantize_weight_kernel(pw: Union[PackedWeight, PackedWeightI8],
     if isinstance(pw, PackedWeightI8):
         w = pw.codes.astype(jnp.float32) * jnp.repeat(s * 0.5, 16, axis=0)
         return w.astype(dtype)
+    from ..quant.packing import e2m1x_to_e2m1
     codes = pw.codes.astype(jnp.int32)
-    w_even = _decode_e2m1_f32(codes & 0xF)
-    w_odd = _decode_e2m1_f32(codes >> 4)
+    w_even = _decode_e2m1_f32(e2m1x_to_e2m1(codes & 0xF))
+    w_odd = _decode_e2m1_f32(e2m1x_to_e2m1(codes >> 4))
     s = jnp.repeat(s, 8, axis=0)
     kq2, n = codes.shape
     out = jnp.zeros((2 * kq2, n), jnp.float32)

@@ -38,8 +38,9 @@ K_PAD_MULTIPLE = 512
 
 
 class PackedWeight(NamedTuple):
-    """A quantized+packed linear weight, w4 format: nibble-packed e2m1
-    codes, 4.5 bits/element (a pytree of arrays)."""
+    """A quantized+packed linear weight, w4 format: nibble-packed
+    e2m1x codes (e2m1 with mag codes 0/1 swapped — see e2m1_to_e2m1x),
+    4.5 bits/element (a pytree of arrays)."""
     codes: jax.Array        # uint8 [Kq//2, N]
     scales: jax.Array       # float8_e4m3fn [Kq//16, N]
     global_scale: jax.Array  # f32 scalar
@@ -76,6 +77,25 @@ class PackedWeightI8(NamedTuple):
 
 # mag2 integer table: 2 × e2m1 magnitude per 3-bit magnitude code
 _MAG2_TABLE = (0, 1, 2, 3, 4, 6, 8, 12)
+
+
+def e2m1_to_e2m1x(codes: jax.Array) -> jax.Array:
+    """Remap standard e2m1 codes to the "e2m1x" STORAGE order used by
+    the w4 kernel: magnitude codes 0 and 1 are swapped (sign bit kept).
+
+    Why: with mag codes {1:0.5, 2:1, 3:1.5, 4:2, 5:3, 6:4, 7:6} the
+    value is EXACTLY bitcast_f32((mag << 22) + 0x3F000000) — an affine
+    map straight into the f32 exponent/mantissa fields — leaving only
+    the zero code (mag==1 after the swap) to fix with one select. The
+    standard order instead puts {0: 0, 1: 0.5} in the f32 *denormal*
+    range, which the TPU flushes, forcing the kernel through a
+    2^63-compensated magic bitcast plus sign/subnormal selects
+    (~2x the decode ALU; see kernels/gemm.py). The swap is an
+    involution, so this function also maps e2m1x back to e2m1."""
+    return jnp.where((codes & 7) < 2, codes ^ 1, codes)
+
+
+e2m1x_to_e2m1 = e2m1_to_e2m1x
 
 
 def codes_to_mag2_i8(codes: jax.Array) -> jax.Array:
@@ -175,7 +195,8 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
                     pad_multiple: int = K_PAD_MULTIPLE,
                     fmt: str = "w8",
                     global_scale: jax.Array | None = None,
-                    w_scale: str = "tensor"):
+                    w_scale: str = "tensor",
+                    aug_cols: jax.Array | None = None):
     """Quantize+pack an [N, K] weight with ARC column duplication into
     the K-major TPU layout (one-time, at load; reference analog
     qLinearLayer.py:55 NVFP4_reorder_quantize_w).
@@ -194,16 +215,28 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
     w_scale: "tensor" (reference parity) or "channel" (one global
     scale per output channel, [N] — finer; lets concatenated fused
     QKV / gate-up packs keep per-projection scale quality).
+
+    aug_cols: explicit residual-duplicate column VALUES [N, select_num]
+    (unscaled, from the FULL weight) instead of the index-derived
+    local ones — used by the exact-ARC tensor-parallel mode, where a
+    shard's residual chunk duplicates channels owned by OTHER shards
+    (parallel/tp.py shard_linear_row exact=True).
     """
     n, k = w.shape
+    if aug_cols is not None:
+        select_num = aug_cols.shape[1]
     if global_scale is not None:
         gs = jnp.asarray(global_scale, jnp.float32)
     elif w_scale == "channel":
         gs = N.nvfp4_global_scale(w, per_row=True)[:, 0]   # [N]
     else:
         gs = N.nvfp4_global_scale(w)
-    ws = w.astype(jnp.float32) / (gs[:, None] if gs.ndim else gs)
-    if select_num:
+    gsc = gs[:, None] if gs.ndim else gs
+    ws = w.astype(jnp.float32) / gsc
+    if aug_cols is not None:
+        ws = jnp.concatenate([ws, aug_cols.astype(jnp.float32) / gsc],
+                             axis=1)
+    elif select_num:
         idx = reorder_index[-select_num:].astype(jnp.int32)
         ws = jnp.concatenate([ws, ws[:, idx]], axis=1)
     kq = pad_kq(k, select_num, pad_multiple)
@@ -224,7 +257,7 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
                               bias=bias)
     if fmt != "w4":
         raise ValueError(f"unknown weight format {fmt!r}")
-    packed = pack_nibbles(codes, axis=-1)          # [N, Kq//2]
+    packed = pack_nibbles(e2m1_to_e2m1x(codes), axis=-1)  # [N, Kq//2]
     return PackedWeight(codes=packed.T,             # [Kq//2, N]
                         scales=scales.T,            # [Kq//16, N]
                         global_scale=gs,
@@ -242,6 +275,6 @@ def dequantize_weight(pw, k: int, select_num: int,
         n, kq = vals.shape
         g = vals.reshape(n, kq // 16, 16) * s[..., None]
         return g.reshape(n, kq)[:, :k + select_num].astype(dtype)
-    codes = unpack_nibbles(pw.codes.T, axis=-1)     # [N, Kq]
+    codes = e2m1x_to_e2m1(unpack_nibbles(pw.codes.T, axis=-1))  # [N, Kq]
     full = dequantize_nvfp4_groups(codes, pw.scales.T, dtype)
     return full[:, :k + select_num]

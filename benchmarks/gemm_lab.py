@@ -194,6 +194,169 @@ def exp_shapes():
               f"({tb/t:.2f}x, {floor/t*100:.0f}% of floor)")
 
 
+def w4_variant(x, codes, scales_u8, gs, gw, *, bm, bn, bk, mode):
+    """w4 fused dequant GEMM with a selectable nibble-decode strategy.
+
+    mode:
+      f32  — production math: i32-domain e2m1x affine decode
+      i16  — 16-bit-domain decode: ops on i16 lanes (packed 2/lane on
+             the VPU), bitcast to bf16, bf16 scale multiply
+      nodec— skip decode entirely (stream+convert floor probe)
+    """
+    m_, n_ = x.shape[0], codes.shape[1]
+    kq = codes.shape[0] * 2
+    n_k = kq // bk
+
+    def kernel(gs_ref, gw_ref, xe_ref, xo_ref, c_ref, s_ref, o_ref,
+               acc_ref):
+        kb = pl.program_id(2)
+
+        @pl.when(kb == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        if mode == "i16":
+            c = c_ref[:].astype(jnp.int16)           # [bk2, bn]
+
+            def dec(nib):
+                mag = nib & 0x7
+                bits = ((mag << 6) | ((nib & 0x8) << 12)) + 0x3F00
+                f = jax.lax.bitcast_convert_type(
+                    bits.astype(jnp.int16), jnp.bfloat16)
+                return jnp.where(mag == 1, jnp.bfloat16(0), f)
+
+            w_even, w_odd = dec(c & 0xF), dec(c >> 4)
+            s = (gemm._decode_ue4m3_f32(s_ref[:].astype(jnp.int32))
+                 .astype(jnp.bfloat16))
+            bk2 = bk // 2
+            se = s[:, None, :]
+            w_even = (w_even.reshape(bk2 // 8, 8, bn) * se).reshape(
+                bk2, bn)
+            w_odd = (w_odd.reshape(bk2 // 8, 8, bn) * se).reshape(
+                bk2, bn)
+            w = jnp.concatenate([w_even, w_odd], axis=0)
+        elif mode == "nodec":
+            c = c_ref[:].astype(jnp.int32)
+            w0 = jax.lax.bitcast_convert_type(
+                c << 22, jnp.float32).astype(jnp.bfloat16)
+            w = jnp.concatenate([w0, w0], axis=0)
+        else:
+            c = c_ref[:].astype(jnp.int32)
+
+            def dec(nib):
+                mag = nib & 0x7
+                bits = ((mag << 22) | ((nib & 0x8) << 28)) + 0x3F000000
+                f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+                return jnp.where(mag == 1, 0.0, f)
+
+            w_even, w_odd = dec(c & 0xF), dec(c >> 4)
+            s = gemm._decode_ue4m3_f32(s_ref[:].astype(jnp.int32))
+            bk2 = bk // 2
+            se = s[:, None, :]
+            w_even = (w_even.reshape(bk2 // 8, 8, bn) * se).reshape(
+                bk2, bn)
+            w_odd = (w_odd.reshape(bk2 // 8, 8, bn) * se).reshape(
+                bk2, bn)
+            w = jnp.concatenate([w_even, w_odd], axis=0).astype(
+                jnp.bfloat16)
+        xx = jnp.concatenate([xe_ref[:], xo_ref[:]], axis=1)
+        acc_ref[:] += jnp.dot(xx, w, preferred_element_type=jnp.float32)
+
+        @pl.when(kb == n_k - 1)
+        def _():
+            o_ref[:] = (acc_ref[:] * gs_ref[:] * gw_ref[:]).astype(
+                jnp.bfloat16)
+
+    k2 = kq // 2
+    return pl.pallas_call(
+        kernel,
+        grid=(m_ // bm, n_ // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk // 2),
+                         lambda i, j, kk, k2=k2, bk=bk:
+                         (i, k2 // (bk // 2) + kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 16, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_, n_), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(gs, gw, x, x, codes, scales_u8)
+
+
+def exp_w4(m, n, k):
+    """w4 (nibble) decode-GEMM block sweep vs w8 and bf16, all within
+    one process (cross-process chip-state variance is ~20%)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (n, k),
+                          jnp.bfloat16) * 0.02
+    ridx = jnp.arange(k, dtype=jnp.int32)
+    pw4 = packing.pack_weight_arc(w, ridx, 0, fmt="w4")
+    pw8 = packing.pack_weight_arc(w, ridx, 0, fmt="w8")
+    xa, gx = qk.quantize_x_arc(x, ridx, 0, kq=pw4.kq)
+    xa = xa.astype(jnp.bfloat16)
+    wT = w.T.copy()
+    tb = bench_op(lambda xx, wT: jnp.dot(
+        xx, wT, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+        x, wT)
+    floor4 = (pw4.codes.size + pw4.scales.size) / 819e9
+    floor8 = (pw8.codes.size + pw8.scales.size) / 819e9
+    print(f"bf16: {tb*1e6:8.2f} us | w4 floor {floor4*1e6:.2f} us | "
+          f"w8 floor {floor8*1e6:.2f} us")
+    t8 = bench_op(lambda xx, pw: gemm.gemm_dequant(xx, pw, gx), xa, pw8)
+    print(f"w8 prod: {t8*1e6:8.2f} us ({tb/t8:.2f}x bf16, "
+          f"{floor8/t8*100:.0f}% of w8 floor)")
+    kq = pw4.kq
+    for bk, bn in ((2048, 512), (1024, 1024), (2048, 1024),
+                   (512, 4096)):
+        if kq % bk or n % bn:
+            continue
+        try:
+            t = bench_op(lambda xx, pw, bk=bk, bn=bn: gemm.gemm_dequant(
+                xx, pw, gx, bk=bk, bn=bn), xa, pw4)
+            print(f"w4 bk={bk:5d} bn={bn:5d}: {t*1e6:8.2f} us  "
+                  f"({tb/t:.2f}x bf16, {floor4/t*100:.0f}% of w4 floor, "
+                  f"{t/t8:.2f}x w8)")
+        except Exception as e:
+            print(f"w4 bk={bk:5d} bn={bn:5d}: FAIL "
+                  f"{type(e).__name__}: {e}"[:200])
+    # decode-strategy variants at one block config
+    bm = max(m, 16)
+    xsp = gemm.split_even_odd(xa)
+    xsp = (jnp.pad(xsp, ((0, bm - m), (0, 0))) if bm != m else xsp)
+    su8 = jax.lax.bitcast_convert_type(pw4.scales, jnp.uint8)
+    gs = jnp.full((bm, 1), float(gx), jnp.float32)
+    gw = jnp.broadcast_to(
+        pw4.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
+    # correctness cross-check for the variant harness
+    ref = gemm.gemm_dequant(xa, pw4, gx)
+    for mode in ("f32", "i16", "nodec"):
+        try:
+            t = bench_op(lambda xx, c, mode=mode: w4_variant(
+                xx, c, su8, gs, gw, bm=bm, bn=1024, bk=2048, mode=mode),
+                xsp, pw4.codes)
+            y = w4_variant(xsp, pw4.codes, su8, gs, gw, bm=bm, bn=1024,
+                           bk=2048, mode=mode)[:m]
+            err = float(jnp.max(jnp.abs(
+                y.astype(jnp.float32) - ref.astype(jnp.float32))))
+            print(f"w4 {mode:6s} bk=2048 bn=1024: {t*1e6:8.2f} us  "
+                  f"({floor4/t*100:.0f}% of w4 floor, maxerr {err:.2e})")
+        except Exception as e:
+            print(f"w4 {mode:6s}: FAIL {type(e).__name__}: {e}"[:300])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="blocks",
@@ -209,6 +372,8 @@ def main():
         exp_blocks(a.m, a.n, a.k)
     elif a.exp == "scale":
         exp_scale(a.m, a.n, a.k, a.bk, a.bn)
+    elif a.exp == "w4":
+        exp_w4(a.m, a.n, a.k)
     elif a.exp == "shapes":
         exp_shapes()
 
