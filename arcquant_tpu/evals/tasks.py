@@ -4,7 +4,9 @@ simple_evaluate over piqa/arc/boolq/hellaswag/winogrande/lambada and
 5-shot MMLU, evaluate.sh:9-27). The lm_eval package is not available
 in this environment, so the protocol is implemented directly:
 multiple-choice accuracy by comparing summed token logprobs of each
-continuation given the context (acc and length-normalized acc_norm).
+continuation given the context, with optional n-shot context assembly
+(subject-matched dev shots + description header for MMLU, matching
+lm-eval's fewshot_context for the reference's 5-shot MMLU run).
 
 Task data comes from HF `datasets` when a local cache exists; in
 air-gapped environments `synthetic` items exercise the full scoring
@@ -57,37 +59,92 @@ def _lambada(d):
     return (words[0], [" " + words[1]], 0)
 
 
+_MMLU_LETTERS = ("A", "B", "C", "D")
+
+
+def _mmlu(d):
+    """lm-eval hendrycksTest format: lettered choices, the continuation
+    is the answer letter (reference evaluate.sh:19-26 runs mmlu
+    5-shot through lm-eval)."""
+    lines = [f"{d['question'].strip()}"]
+    for letter, choice in zip(_MMLU_LETTERS, d["choices"]):
+        lines.append(f"{letter}. {choice}")
+    lines.append("Answer:")
+    return ("\n".join(lines), [" " + s for s in _MMLU_LETTERS],
+            int(d["answer"]), d.get("subject", ""))
+
+
+# task -> (load_dataset args, eval split, doc formatter, fewshot split)
 TASK_SPECS = {
-    "piqa": (("piqa",), "validation", _piqa),
-    "arc_easy": (("ai2_arc", "ARC-Easy"), "test", _arc),
-    "arc_challenge": (("ai2_arc", "ARC-Challenge"), "test", _arc),
-    "boolq": (("boolq",), "validation", _boolq),
-    "hellaswag": (("hellaswag",), "validation", _hellaswag),
+    "piqa": (("piqa",), "validation", _piqa, "train"),
+    "arc_easy": (("ai2_arc", "ARC-Easy"), "test", _arc, "train"),
+    "arc_challenge": (("ai2_arc", "ARC-Challenge"), "test", _arc,
+                      "train"),
+    "boolq": (("boolq",), "validation", _boolq, "train"),
+    "hellaswag": (("hellaswag",), "validation", _hellaswag, "train"),
     "winogrande": (("winogrande", "winogrande_xl"), "validation",
-                   _winogrande),
-    "lambada": (("EleutherAI/lambada_openai",), "test", _lambada),
+                   _winogrande, "train"),
+    "lambada": (("EleutherAI/lambada_openai",), "test", _lambada, None),
+    # 5-shot MMLU uses the dev split for shots, subject-matched, with
+    # the lm-eval description header (reference evaluate.sh:19-26)
+    "mmlu": (("cais/mmlu", "all"), "test", _mmlu, "dev"),
 }
+
+_MMLU_DESCRIPTION = ("The following are multiple choice questions "
+                     "(with answers) about {subject}.\n\n")
+
+
+def _norm_doc(doc):
+    """Normalize a formatter result to (ctx, choices, ans, subject)."""
+    if len(doc) == 3:
+        return (*doc, None)
+    return doc
+
+
+def _synthetic_docs(task: str, vocab_size: int, seed: int):
+    n = int(task.split(":")[1]) if ":" in task else 64
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(n):
+        ctx = rng.integers(1, vocab_size, size=24).tolist()
+        choices = [rng.integers(1, vocab_size, size=6).tolist()
+                   for _ in range(4)]
+        docs.append((ctx, choices, int(rng.integers(0, 4)), None))
+    return docs
 
 
 def load_task_docs(task: str, limit: Optional[int] = None,
-                   vocab_size: int = 32000, seed: int = 0):
-    """Returns a list of (context_str|tokens, choices, answer_idx).
-    `synthetic:<n>` generates n deterministic token-level items."""
+                   vocab_size: int = 32000, seed: int = 0,
+                   split: Optional[str] = None):
+    """Returns a list of (context_str|tokens, choices, answer_idx,
+    subject_or_None). `synthetic:<n>` generates n deterministic
+    token-level items; `split` overrides the eval split (used to load
+    few-shot source docs)."""
     if task.startswith("synthetic"):
-        n = int(task.split(":")[1]) if ":" in task else 64
-        rng = np.random.default_rng(seed)
-        docs = []
-        for _ in range(n):
-            ctx = rng.integers(1, vocab_size, size=24).tolist()
-            choices = [rng.integers(1, vocab_size, size=6).tolist()
-                       for _ in range(4)]
-            docs.append((ctx, choices, int(rng.integers(0, 4))))
-        return docs
+        return _synthetic_docs(task, vocab_size, seed)
     from datasets import load_dataset
-    args, split, fn = TASK_SPECS[task]
-    ds = load_dataset(*args, split=split)
-    docs = [fn(d) for d in ds]
+    args, eval_split, fn, _ = TASK_SPECS[task]
+    ds = load_dataset(*args, split=split or eval_split)
+    docs = [_norm_doc(fn(d)) for d in ds]
     return docs[:limit] if limit else docs
+
+
+def _fewshot_prefix(shot_docs, subject, n: int, token_level: bool):
+    """Assemble an n-shot prefix from formatted source docs: each shot
+    is its context followed by the CORRECT continuation (lm-eval's
+    fewshot_context), joined by blank lines (or concatenated for
+    token-level synthetic docs). Subject-matched when subjects exist."""
+    pool = [d for d in shot_docs
+            if subject is None or d[3] is None or d[3] == subject]
+    shots = pool[:n]
+    if token_level:
+        out = []
+        for ctx, choices, ans, _ in shots:
+            out.extend(list(ctx))
+            out.extend(list(choices[ans]))
+        return out
+    parts = [f"{ctx}{choices[ans]}" for ctx, choices, ans, _ in shots]
+    return "\n\n".join(parts) + ("\n\n" if parts else "")
 
 
 def _bucket(n: int, lo: int = 32) -> int:
@@ -135,16 +192,46 @@ def evaluate_tasks(cfg: ModelConfig, qparams, tasks: Sequence[str],
                    tok_fn: Optional[Callable] = None,
                    qcfg: Optional[QuantConfig] = None, calib=None,
                    limit: Optional[int] = 200, batch: int = 8,
-                   seed: int = 0) -> Dict[str, float]:
-    """Zero-shot multiple-choice accuracy per task."""
+                   seed: int = 0, num_fewshot: int = 0
+                   ) -> Dict[str, float]:
+    """Multiple-choice accuracy per task (num_fewshot=0 → zero-shot;
+    the reference suite runs MMLU with num_fewshot=5,
+    evaluate.sh:19-26)."""
     ll = make_loglikelihood_fn(cfg, qparams, qcfg, calib)
     results = {}
     for task in tasks:
-        docs = load_task_docs(task.strip(), limit, cfg.vocab_size, seed)
+        task = task.strip()
+        docs = load_task_docs(task, limit, cfg.vocab_size, seed)
+        shot_docs = []
+        if num_fewshot > 0:
+            if task.startswith("synthetic"):
+                # deterministic held-out shot pool for the air-gapped
+                # pipeline check
+                shot_docs = _synthetic_docs(
+                    f"synthetic:{4 * num_fewshot}", cfg.vocab_size,
+                    seed + 1)
+            else:
+                fs_split = TASK_SPECS[task][3]
+                if fs_split is None:
+                    raise ValueError(f"task {task} has no few-shot "
+                                     "source split")
+                shot_docs = load_task_docs(task, None, cfg.vocab_size,
+                                           seed, split=fs_split)
         correct = 0
         # flatten (doc, choice) pairs
         items = []   # (doc_idx, choice_idx, tokens, ctx_len)
-        for di, (ctx, choices, ans) in enumerate(docs):
+        for di, (ctx, choices, ans, subject) in enumerate(docs):
+            token_level = isinstance(ctx, (list, tuple))
+            if num_fewshot > 0:
+                prefix = _fewshot_prefix(shot_docs, subject,
+                                         num_fewshot, token_level)
+                if task == "mmlu" and not token_level:
+                    subj = (subject or "the given subject").replace(
+                        "_", " ")
+                    prefix = (_MMLU_DESCRIPTION.format(subject=subj)
+                              + prefix)
+                ctx = (list(prefix) + list(ctx) if token_level
+                       else prefix + ctx)
             ctx_t = (list(ctx) if isinstance(ctx, (list, tuple))
                      else tok_fn(ctx))
             for ci, ch in enumerate(choices):
@@ -167,9 +254,9 @@ def evaluate_tasks(cfg: ModelConfig, qparams, tasks: Sequence[str],
                                 jnp.asarray(lens)))
             for j, (di, ci, _, _) in enumerate(chunk):
                 scores[(di, ci)] = float(out[j])
-        for di, (ctx, choices, ans) in enumerate(docs):
+        for di, (ctx, choices, ans, _) in enumerate(docs):
             best = max(range(len(choices)),
                        key=lambda ci: scores[(di, ci)])
             correct += int(best == ans)
-        results[task.strip()] = correct / max(len(docs), 1)
+        results[task] = correct / max(len(docs), 1)
     return results

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--tasks", default="",
                     help="comma-separated loglikelihood tasks "
                     "(see arcquant_tpu/evals/tasks.py)")
+    ap.add_argument("--num_fewshot", type=int, default=0,
+                    help="n-shot context assembly for --tasks "
+                    "(reference runs mmlu with 5)")
     ap.add_argument("--select_frac", type=float, default=0.125,
                     help="ARC fraction when no --calib given")
     ap.add_argument("--seed", type=int, default=0)
@@ -110,10 +113,12 @@ def main():
         from arcquant_tpu.evals.tasks import evaluate_tasks
         results = evaluate_tasks(
             cfg, qparams, args.tasks.split(","), tok_fn,
-            qcfg=eval_qcfg, calib=eval_calib, seed=args.seed)
+            qcfg=eval_qcfg, calib=eval_calib, seed=args.seed,
+            num_fewshot=args.num_fewshot)
         for task, acc in results.items():
-            print(f"Task,{task},{acc:.4f}")
-            logging.info("Task,%s,%.4f", task, acc)
+            print(f"Task,{task},{acc:.4f},shots={args.num_fewshot}")
+            logging.info("Task,%s,%.4f,shots=%d", task, acc,
+                         args.num_fewshot)
 
 
 if __name__ == "__main__":

@@ -1,7 +1,6 @@
 #!/bin/bash
 # Accuracy evaluation suite — port of the reference evaluate.sh
-# (3 invocations: zero-shot task suite, 5-shot MMLU [tasks here run
-# zero-shot; few-shot contexts: future work], WikiText-2 PPL;
+# (3 invocations: zero-shot task suite, 5-shot MMLU, WikiText-2 PPL;
 # all NVFP4 + act_sort_metric max).
 #
 # Usage: bash evaluate.sh <model_dir_or_config> [calib.npz]
@@ -17,6 +16,10 @@ python evaluate.py --model "$MODEL" $CALIB_ARG \
     --quant_type NVFP4 \
     --tasks piqa,arc_challenge,boolq,hellaswag,winogrande,lambada,arc_easy
 
-# 2. WikiText-2 perplexity (reference evaluate.sh:29-35)
+# 2. 5-shot MMLU (reference evaluate.sh:19-26)
+python evaluate.py --model "$MODEL" $CALIB_ARG \
+    --quant_type NVFP4 --tasks mmlu --num_fewshot 5
+
+# 3. WikiText-2 perplexity (reference evaluate.sh:29-35)
 python evaluate.py --model "$MODEL" $CALIB_ARG \
     --quant_type NVFP4 --eval_ppl --dataset wikitext2 --seqlen 2048
