@@ -42,20 +42,30 @@ class EngineConfig:
     max_seq_len: int = 2048
     page_size: int = KV_PAGE_SIZE
     num_pages: int = 0          # 0 = auto: max_batch * max_seq pages
+    # dynamic_pages=True: the page table starts empty (all-sink) and a
+    # host-side PageAllocator (engine/scheduler.py) maps pages on
+    # demand — the pool may then be SMALLER than max_batch*max_seq
+    # (memory oversubscription; requests queue when the pool is full).
+    # False: static layout, slot i owns pages [1+i*pps, 1+(i+1)*pps).
+    dynamic_pages: bool = False
 
     @property
     def pages_per_seq(self) -> int:
         return -(-self.max_seq_len // self.page_size)
 
     def __post_init__(self):
-        # The static page layout assigns pages 1..max_batch*pps; a
-        # smaller explicit pool would make appends silently drop
-        # (mode='drop') and decode read garbage pages (round-1 ADVICE).
-        need = self.max_batch * self.pages_per_seq + 1
+        # Static layout assigns pages 1..max_batch*pps; a smaller
+        # explicit pool would make appends silently drop (mode='drop')
+        # and decode read garbage pages (round-1 ADVICE). Dynamic mode
+        # only needs one full sequence to fit.
+        if self.dynamic_pages:
+            need = self.pages_per_seq + 1
+        else:
+            need = self.max_batch * self.pages_per_seq + 1
         if self.num_pages and self.num_pages < need:
             raise ValueError(
-                f"num_pages={self.num_pages} < max_batch*pages_per_seq"
-                f"+1 = {need} required by the static page layout")
+                f"num_pages={self.num_pages} < {need} required "
+                f"({'one sequence + sink' if self.dynamic_pages else 'max_batch*pages_per_seq+1 for the static page layout'})")
 
     def total_pages(self) -> int:
         if self.num_pages:
@@ -216,15 +226,18 @@ class InferenceEngine:
     # -- state ------------------------------------------------------------
 
     def new_state(self):
-        """(cache, page_table, seq_lens). Page table rows map each
-        batch slot to its pre-assigned page range (static layout:
-        slot i gets pages [1 + i*pps, 1 + (i+1)*pps); page 0 is the
-        masked-scatter sink)."""
+        """(cache, page_table, seq_lens). Static layout: slot i gets
+        pages [1 + i*pps, 1 + (i+1)*pps); page 0 is the masked-scatter
+        sink. Dynamic mode (ecfg.dynamic_pages): the table starts
+        all-sink and the scheduler's PageAllocator fills rows in."""
         e = self.ecfg
         cache = paged.init_cache(self.cfg, e.total_pages(), e.page_size)
         pps = e.pages_per_seq
-        pt = 1 + (jnp.arange(e.max_batch)[:, None] * pps
-                  + jnp.arange(pps)[None, :]).astype(jnp.int32)
+        if e.dynamic_pages:
+            pt = jnp.zeros((e.max_batch, pps), jnp.int32)
+        else:
+            pt = 1 + (jnp.arange(e.max_batch)[:, None] * pps
+                      + jnp.arange(pps)[None, :]).astype(jnp.int32)
         seq_lens = jnp.zeros((e.max_batch,), jnp.int32)
         return (cache, pt, seq_lens)
 
@@ -372,6 +385,13 @@ class InferenceEngine:
         token lists. Simple single-batch path; use ContinuousBatcher
         for multi-request serving."""
         import numpy as np
+        if self.ecfg.dynamic_pages:
+            # the all-sink initial table needs the scheduler's
+            # PageAllocator; without it every append lands in page 0
+            raise ValueError(
+                "generate() requires the static page layout "
+                "(dynamic_pages=False); use ContinuousBatcher for "
+                "dynamically paged serving")
         if isinstance(prompts, (list, tuple)):
             lens = np.asarray([len(p) for p in prompts], np.int32)
             t = max(int(lens.max()), 1)

@@ -19,6 +19,14 @@ Design notes (TPU-first):
     without touching running ones.
   - Prefill lengths are bucketed to powers of two to bound the number
     of prefill compilations.
+  - With EngineConfig.dynamic_pages, a host-side PageAllocator
+    free-lists the pool: prompt pages are mapped at admission, decode
+    growth maps one page at a time, retirement frees, and requests
+    QUEUE when the pool is exhausted (admission) or preempt the
+    youngest running sequence (growth). The page table is host state
+    (tiny [B, pps] i32), pushed to the device on change; the device
+    arrays never see allocation logic, so both engine steps stay
+    jitted exactly as in static mode.
 """
 
 from __future__ import annotations
@@ -51,17 +59,50 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+class PageAllocator:
+    """Free-list allocator over the KV page pool (page 0 = reserved
+    scatter sink). Fulfils the promise in cache/paged.py: allocation,
+    free lists, and per-request page lists live here, host-side."""
+
+    def __init__(self, num_pages: int):
+        self.capacity = num_pages - 1    # page 0 is the sink
+        self.free: List[int] = list(range(num_pages - 1, 0, -1))
+        self.owned: dict = {}            # slot -> [page ids]
+
+    def available(self) -> int:
+        return len(self.free)
+
+    def alloc(self, slot: int, n: int) -> Optional[List[int]]:
+        """Map n more pages to `slot`; None (and no change) if the
+        pool cannot satisfy the request."""
+        if n > len(self.free):
+            return None
+        got = [self.free.pop() for _ in range(n)]
+        self.owned.setdefault(slot, []).extend(got)
+        return got
+
+    def release(self, slot: int) -> None:
+        pages = self.owned.pop(slot, [])
+        self.free.extend(reversed(pages))
+
+
 class ContinuousBatcher:
     """Admits requests into engine slots and steps the batch."""
 
     def __init__(self, engine: InferenceEngine):
         self.engine = engine
         self.state = engine.new_state()
-        b = engine.ecfg.max_batch
+        e = engine.ecfg
+        b = e.max_batch
         self.slots: List[Optional[Request]] = [None] * b
         self.next_token = np.zeros((b,), np.int32)
         self.queue: List[Request] = []
         self.finished: List[Request] = []
+        self.alloc: Optional[PageAllocator] = None
+        if e.dynamic_pages:
+            self.alloc = PageAllocator(e.total_pages())
+            self._pt = np.zeros((b, e.pages_per_seq), np.int32)
+            self._pt_dirty = False
 
     # -- admission ----------------------------------------------------------
 
@@ -70,6 +111,19 @@ class ContinuousBatcher:
 
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.slots) if s is None]
+
+    def _map_pages(self, slot: int, pages: List[int]) -> None:
+        """Record newly allocated pages in the host page table."""
+        row = self._pt[slot]
+        used = int(np.count_nonzero(row))
+        row[used:used + len(pages)] = pages
+        self._pt_dirty = True
+
+    def _push_pt(self) -> None:
+        if self.alloc is not None and self._pt_dirty:
+            cache, _, seq_lens = self.state
+            self.state = (cache, jnp.asarray(self._pt), seq_lens)
+            self._pt_dirty = False
 
     def _admit(self) -> None:
         """Move queued requests into free slots and prefill them."""
@@ -81,16 +135,29 @@ class ContinuousBatcher:
         # server must not silently drop the prompt head — round-1
         # ADVICE). max_seq_len - 1 leaves room for >=1 decoded token.
         cap = self.engine.ecfg.max_seq_len - 1
+        ps = self.engine.ecfg.page_size
         joining: List[tuple] = []
         while free and self.queue:
             req = self.queue.pop(0)
-            if len(req.prompt) > cap:
+            need = -(-(len(req.prompt) + 1) // ps)
+            if len(req.prompt) > cap or (
+                    self.alloc is not None
+                    and need > self.alloc.capacity):
                 req.done = True
                 req.error = (f"prompt length {len(req.prompt)} exceeds "
-                             f"KV capacity {cap}")
+                             f"KV capacity")
                 self.finished.append(req)
                 continue
-            slot = free.pop(0)
+            slot = free[0]
+            if self.alloc is not None:
+                # prompt pages + the first decode token's page
+                pages = self.alloc.alloc(slot, need)
+                if pages is None:
+                    # pool exhausted: requeue and stop admitting (FIFO)
+                    self.queue.insert(0, req)
+                    break
+                self._map_pages(slot, pages)
+            free.pop(0)
             self.slots[slot] = req
             joining.append((slot, req))
         if not joining:
@@ -107,6 +174,7 @@ class ContinuousBatcher:
         # Prefill only joining slots (len-0 rows are inert: their
         # appends are masked and their logits unused). seq_lens of
         # running slots must survive — engine.prefill takes max().
+        self._push_pt()
         logits, self.state = self.engine.prefill(
             self.state, jnp.asarray(toks), jnp.asarray(lens))
         first = np.asarray(jnp.argmax(logits, -1), np.int32)
@@ -115,11 +183,47 @@ class ContinuousBatcher:
 
     # -- stepping -----------------------------------------------------------
 
+    def _release_slot(self, slot: int) -> None:
+        if self.alloc is not None:
+            self.alloc.release(slot)
+            self._pt[slot] = 0
+            self._pt_dirty = True
+        self.slots[slot] = None
+
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
         req.done = True
         self.finished.append(req)
-        self.slots[slot] = None
+        self._release_slot(slot)
+
+    def _preempt(self, slot: int) -> None:
+        """Pool exhausted mid-decode: free this sequence's pages and
+        requeue it with its progress folded into the prompt (it will
+        re-prefill when pages free up)."""
+        req = self.slots[slot]
+        req.prompt = list(req.prompt) + list(req.output)
+        self._release_slot(slot)
+        self.queue.insert(0, req)
+
+    def _grow_pages(self) -> None:
+        """Dynamic mode: before a decode step, every active slot must
+        have the page for its next append position mapped; allocate on
+        demand, preempting on pool exhaustion."""
+        if self.alloc is None:
+            return
+        ps = self.engine.ecfg.page_size
+        _, _, seq_lens = self.state
+        lens_np = np.asarray(seq_lens)
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            have = int(np.count_nonzero(self._pt[i]))
+            if int(lens_np[i]) // ps >= have:
+                pages = self.alloc.alloc(i, 1)
+                if pages is None:
+                    self._preempt(i)
+                else:
+                    self._map_pages(i, pages)
 
     def step(self) -> List[Request]:
         """Admit + one decode step. Returns requests finished in this
@@ -149,8 +253,10 @@ class ContinuousBatcher:
             if (self.slots[i] is not None
                     and lens_np[i] >= self.engine.ecfg.max_seq_len - 1):
                 self._retire(i)
+        self._grow_pages()
         active = np.asarray([s is not None for s in self.slots])
         if active.any():
+            self._push_pt()
             logits, self.state = self.engine.decode_step(
                 self.state, jnp.asarray(self.next_token),
                 jnp.asarray(active))
