@@ -16,11 +16,20 @@ Design (SURVEY.md §7 delta 5 — ONE real implementation):
     so in-kernel unpack is concat(low, high) — NO lane interleave
     (the reference needs FoldFactor thread remapping for this,
     decode.cuh:527; on TPU the layout trick makes it free).
-  - Page pool layout [L, P, Hkv, page, Dh/2] u8 with params
-    [L, P, Hkv, page] f32 ×2 per K/V: the last two dims form the
-    (sublane, lane) tile the decode kernel streams.
-  - Append = vectorized scatter (jnp .at[] on donated buffers); the
-    reference needs two dedicated CUDA kernels for this
+  - Page-granular pooling: K and V codes share one buffer
+    [P, 2, Hkv, Dh/2, page] u8 and all four per-token params share
+    [P, Hkv, 4, page] f32 (scale_k, min_k, scale_v, min_v), so one
+    page is exactly TWO contiguous HBM regions.  The decode kernel
+    (kernels/paged_decode.py) double-buffers pages with two manual
+    DMAs per page; the reference's layout needs a param fetch per
+    token (decode.cuh:629-637).
+  - TOKENS ARE LANES: the page dim is last everywhere (page = 128 =
+    the TPU lane width), so (a) every per-page DMA slice is exactly
+    lane-tile aligned, and (b) the decode kernel's nibble unpack
+    yields Kᵀ/Vᵀ [Dh, page] directly — the QK and PV contractions run
+    with zero in-kernel transposes or relayouts.
+  - Append = two vectorized scatters (jnp .at[] on donated buffers);
+    the reference needs two dedicated CUDA kernels for this
     (page.cuh:120-219).
 
 Page-table bookkeeping (allocation, free lists) is host-side in
@@ -37,6 +46,9 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, KV_PAGE_SIZE
 
+# params row order along axis 2 of the params buffer
+K_SCALE, K_MIN, V_SCALE, V_MIN = 0, 1, 2, 3
+
 
 class PagedKVCache(NamedTuple):
     """Device-side paged KV state (a pytree; donate across steps).
@@ -45,24 +57,24 @@ class PagedKVCache(NamedTuple):
     so a layer's append touches only that layer's buffers (a single
     [L, ...] array would force a whole-pool dynamic-update-slice per
     layer per step)."""
-    k_codes: tuple    # L × u8  [P, Hkv, page, Dh//2]
-    k_scale: tuple    # L × f32 [P, Hkv, page]
-    k_min: tuple      # L × f32 [P, Hkv, page]
-    v_codes: tuple    # L × u8  [P, Hkv, page, Dh//2]
-    v_scale: tuple    # L × f32 [P, Hkv, page]
-    v_min: tuple      # L × f32 [P, Hkv, page]
+    codes: tuple     # L × u8  [P, 2, Hkv, Dh//2, page]  (axis1: 0=K, 1=V)
+    params: tuple    # L × f32 [P, Hkv, 4, page]  (axis2: sk, mk, sv, mv)
 
     @property
     def page_size(self) -> int:
-        return self.k_codes[0].shape[2]
+        return self.codes[0].shape[4]
 
     @property
     def num_pages(self) -> int:
-        return self.k_codes[0].shape[0]
+        return self.codes[0].shape[0]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.codes[0].shape[2]
 
     @property
     def head_dim(self) -> int:
-        return self.k_codes[0].shape[3] * 2
+        return self.codes[0].shape[3] * 2
 
 
 def init_cache(cfg: ModelConfig, num_pages: int,
@@ -72,17 +84,11 @@ def init_cache(cfg: ModelConfig, num_pages: int,
     pytree, and XLA rejects donating one buffer twice."""
     l, h, d = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     assert d % 2 == 0
-
-    def codes():
-        return tuple(jnp.zeros((num_pages, h, page_size, d // 2),
-                               jnp.uint8) for _ in range(l))
-
-    def params():
-        return tuple(jnp.zeros((num_pages, h, page_size), jnp.float32)
-                     for _ in range(l))
-
-    return PagedKVCache(codes(), params(), params(),
-                        codes(), params(), params())
+    codes = tuple(jnp.zeros((num_pages, 2, h, d // 2, page_size),
+                            jnp.uint8) for _ in range(l))
+    params = tuple(jnp.zeros((num_pages, h, 4, page_size), jnp.float32)
+                   for _ in range(l))
+    return PagedKVCache(codes, params)
 
 
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -144,7 +150,7 @@ def append_kv(cache: PagedKVCache, layer: int, k_new: jax.Array,
 
     Replaces the reference's init_kv_i4 (ragged prefill scatter) and
     append_kv_i4 (single-token append) CUDA kernels
-    (page.cuh:120-219) — one vectorized scatter covers both.
+    (page.cuh:120-219) — two vectorized scatters cover both.
 
     Args:
       k_new/v_new: [B, T, Hkv, Dh] post-RoPE K and V.
@@ -152,7 +158,6 @@ def append_kv(cache: PagedKVCache, layer: int, k_new: jax.Array,
       positions: [B, T] absolute positions to write (entries < 0 are
         masked out — used for ragged batches).
     """
-    b, t, h, d = k_new.shape
     ps = cache.page_size
     valid = positions >= 0
     safe_pos = jnp.maximum(positions, 0)
@@ -161,28 +166,21 @@ def append_kv(cache: PagedKVCache, layer: int, k_new: jax.Array,
     # mode="drop" on an out-of-range page index.
     pidx = jnp.where(valid, pidx, cache.num_pages)
 
-    def scat(codes_buf, scale_buf, min_buf, x):
-        codes, scale, minv = quantize_kv(x)       # [B,T,H,D/2],[B,T,H]
-        # advanced-indexing scatter: leading [B,T] index arrays select
-        # (page, offset); the Hkv slice stays in place
-        cb = codes_buf.at[pidx, :, offs].set(
-            codes.astype(jnp.uint8), mode="drop")
-        sb = scale_buf.at[pidx, :, offs].set(scale, mode="drop")
-        mb = min_buf.at[pidx, :, offs].set(minv, mode="drop")
-        return cb, sb, mb
+    kc, ks, km = quantize_kv(k_new)            # [B,T,H,D/2],[B,T,H]
+    vc, vs, vm = quantize_kv(v_new)
+    kv_codes = jnp.stack([kc, vc], axis=2)     # [B,T,2,H,D/2]
+    params = jnp.stack([ks, km, vs, vm], axis=-1)   # [B,T,H,4]
 
-    kc, ks, km = scat(cache.k_codes[layer], cache.k_scale[layer],
-                      cache.k_min[layer], k_new)
-    vc, vs, vm = scat(cache.v_codes[layer], cache.v_scale[layer],
-                      cache.v_min[layer], v_new)
+    # advanced-indexing scatters: leading [B,T] index arrays select
+    # (page, in-page lane); the kv/head/dim axes stay in place
+    cb = cache.codes[layer].at[pidx, :, :, :, offs].set(
+        kv_codes.astype(jnp.uint8), mode="drop")
+    pb = cache.params[layer].at[pidx, :, :, offs].set(params, mode="drop")
 
     def repl(t, new):
         return t[:layer] + (new,) + t[layer + 1:]
 
-    return PagedKVCache(
-        repl(cache.k_codes, kc), repl(cache.k_scale, ks),
-        repl(cache.k_min, km), repl(cache.v_codes, vc),
-        repl(cache.v_scale, vs), repl(cache.v_min, vm))
+    return PagedKVCache(repl(cache.codes, cb), repl(cache.params, pb))
 
 
 def gather_kv(cache: PagedKVCache, layer: int, page_table: jax.Array,
@@ -191,19 +189,21 @@ def gather_kv(cache: PagedKVCache, layer: int, page_table: jax.Array,
     """Dequantize a sequence's K/V back to dense [B, max_len, Hkv, Dh]
     (debug/parity path; the fast path is the fused Pallas decode)."""
     ps = cache.page_size
-    b = page_table.shape[0]
     npp = max_len // ps + (1 if max_len % ps else 0)
     pids = page_table[:, :npp]                    # [B, npp]
 
-    def one(codes, scale, minv):
-        c = codes[layer][pids]                    # [B, npp, H, ps, D/2]
-        s = scale[layer][pids]
-        m = minv[layer][pids]
-        x = dequantize_kv(c, s, m, dtype)         # [B, npp, H, ps, D]
-        x = x.transpose(0, 1, 3, 2, 4)            # [B, npp, ps, H, D]
-        bsz, _, _, h, d = x.shape
-        return x.reshape(bsz, npp * ps, h, d)[:, :max_len]
+    c = cache.codes[layer][pids]                  # [B,npp,2,H,D/2,ps]
+    p = cache.params[layer][pids]                 # [B,npp,H,4,ps]
 
-    k = one(cache.k_codes, cache.k_scale, cache.k_min)
-    v = one(cache.v_codes, cache.v_scale, cache.v_min)
-    return k, v
+    def one(kv):
+        scale = p[..., 2 * kv, :].transpose(0, 1, 3, 2)   # [B,npp,ps,H]
+        minv = p[..., 2 * kv + 1, :].transpose(0, 1, 3, 2)
+        ck = c[:, :, kv]                          # [B,npp,H,D/2,ps]
+        x = jnp.concatenate([ck & jnp.uint8(0xF), ck >> 4],
+                            axis=-2).astype(jnp.float32)  # [B,npp,H,D,ps]
+        x = x.transpose(0, 1, 4, 2, 3)            # [B,npp,ps,H,D]
+        x = x * scale[..., None] + minv[..., None]
+        bsz, _, _, h, d = x.shape
+        return x.reshape(bsz, npp * ps, h, d)[:, :max_len].astype(dtype)
+
+    return one(0), one(1)

@@ -56,6 +56,15 @@ class QuantConfig:
     # head is ~8% of the whole step's HBM traffic on 150k-vocab
     # models, so the engine can opt in.
     quantize_lm_head: bool = False
+    # Exact-ARC under tensor parallelism: row-parallel sites keep the
+    # GLOBAL top-KE residual channel set and grouping (residual block
+    # partitioned group-aligned across shards; the activation residual
+    # is rebuilt exactly via a scatter + psum), so TP numerics match
+    # the single-device engine bit-for-bit with ARC on. Requires
+    # (select_num/tp) % 16 == 0 per row site. Default False = the
+    # cheaper per-shard re-balanced selection (different, usually
+    # equally good, numerics).
+    tp_exact_arc: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -7,21 +7,26 @@ KV cache, with dequantization fused into the QK and PV products and
 an online-softmax accumulator across pages.
 
 Mapping of the CUDA machinery onto TPU:
-  - cp.async 4-stage page pipeline (decode.cuh:552-594)  →  Pallas
-    grid pipelining: the page index for each grid step comes from the
-    scalar-prefetched page table, so Mosaic double-buffers the page
-    DMAs automatically (PrefetchScalarGridSpec).
+  - cp.async 4-stage page pipeline (decode.cuh:552-594)  →  manual
+    double-buffered DMA loop: grid = (batch,) only, and each program
+    streams exactly ceil(seq_len/page) pages via two async copies per
+    page (codes + params), so HBM traffic is bounded by the ACTUAL
+    sequence length, not the pool capacity — and the per-program
+    fixed cost is paid B times, not B×max_pages times.
   - per-entry {scale, zero} half2 fetch (decode.cuh:629-637)  →
-    scale/minv arrays streamed as their own blocks.
+    scale/min ride in the per-page params block and are applied in
+    SCORE space:  s = (q·codes)·scaleᵗ + (Σq)·minᵗ  keeps the token
+    dim in lanes end-to-end (zero relayouts) and feeds raw int codes
+    straight to the MXU;  pv = (p·scaleᵗ)·codes + Σ(p·minᵗ) likewise.
   - FoldFactor thread remap for 128-bit packed loads (decode.cuh:527)
     →  split-half nibble packing (cache/paged.py) makes unpack a
     concat: no lane shuffles at all.
   - state_t online-softmax merge (state.cuh)  →  (m, l, acc) carried
-    in VMEM scratch across the page grid dimension.
+    in VMEM scratch across the page loop.
 
-Grid: (batch, kv_head, page_slot). The GQA query group (Hq/Hkv heads)
-rides the sublane dimension, so all query heads of a kv head are one
-program — the reference needs a whole threadblock per (batch, head).
+The GQA query group (Hq/Hkv heads) rides the sublane dimension and
+all kv heads are statically unrolled, so one program covers a whole
+batch element — the reference needs a threadblock per (batch, head).
 """
 
 from __future__ import annotations
@@ -40,102 +45,111 @@ from ..cache.paged import PagedKVCache
 _NEG_INF = -1e30
 
 
-def _decode_kernel(pt_ref, sl_ref, q_ref, kc_ref, ks_ref, km_ref,
-                   vc_ref, vs_ref, vm_ref, o_ref,
-                   m_ref, l_ref, acc_ref, *, page: int, sm_scale: float,
-                   hkv: int, gp: int):
-    """One (batch, page_slot) program covering ALL kv heads (a per-
-    head grid would mean Hkv× more tiny programs; the per-program
-    fixed cost dominates at decode shapes)."""
+def _decode_kernel(pt_ref, sl_ref, q_ref, codes_hbm, params_hbm, o_ref,
+                   c_s, p_s, sems, m_ref, l_ref, acc_ref, *,
+                   page: int, sm_scale: float, hkv: int, gp: int):
     b = pl.program_id(0)
-    p = pl.program_id(1)
-    n_p = pl.num_programs(1)
+    seq = sl_ref[b]
+    npages = (seq + page - 1) // page
 
-    @pl.when(p == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    def dma(slot, i):
+        pid = pt_ref[b, i]
+        return (pltpu.make_async_copy(codes_hbm.at[pid], c_s.at[slot],
+                                      sems.at[slot, 0]),
+                pltpu.make_async_copy(params_hbm.at[pid], p_s.at[slot],
+                                      sems.at[slot, 1]))
 
-    seq_len = sl_ref[b]
+    for d in dma(0, 0):
+        d.start()
 
-    @pl.when(p * page < seq_len)
-    def _():
-        tok_mask = (jax.lax.broadcasted_iota(
-            jnp.int32, (gp, page), 1) + p * page) < seq_len
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def loop(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < npages)
+        def _():
+            for d in dma(1 - slot, i + 1):
+                d.start()
+
+        for d in dma(slot, i):
+            d.wait()
+
+        c = c_s[slot]                       # [2, Hkv, Dh/2, page] u8
+        p = p_s[slot]                       # [Hkv, 4, page] f32
+        tok_mask = (jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
+                    + i * page) < seq
+
         for h in range(hkv):                # static unroll over heads
-            q = q_ref[0, h].astype(jnp.float32) * sm_scale  # [Gp, Dh]
+            q = q_ref[0, h].astype(jnp.float32) * sm_scale   # [Gp, Dh]
+            qsum = jnp.sum(q, axis=-1, keepdims=True)        # [Gp, 1]
 
-            def dq(codes, scale, minv, h=h):
-                c = codes[0, h].astype(jnp.int32)        # [page, Dh/2]
-                full = jnp.concatenate([c & 0xF, c >> 4], axis=-1)
-                s = scale[0, h].reshape(page, 1)
-                mn = minv[0, h].reshape(page, 1)
-                return full.astype(jnp.float32) * s + mn  # [page, Dh]
+            def full_t(kv, h=h):
+                # nibble unpack straight to Kᵀ/Vᵀ [Dh, page]: tokens
+                # stay in lanes, dims stack on sublanes — no relayout
+                ci = c[kv, h].astype(jnp.int32)      # [Dh/2, page]
+                return jnp.concatenate(
+                    [ci & 0xF, ci >> 4], axis=0).astype(jnp.float32)
 
-            k = dq(kc_ref, ks_ref, km_ref)
-            v = dq(vc_ref, vs_ref, vm_ref)
-
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            # mask tokens at/after seq_len (the current step's token
-            # was appended before the kernel runs)
+            ks = p[h, 0].reshape(1, page)
+            km = p[h, 1].reshape(1, page)
+            s = jax.lax.dot_general(
+                q, full_t(0), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [Gp, page]
+            s = s * ks + qsum * km
             s = jnp.where(tok_mask, s, _NEG_INF)
 
             r = slice(h * gp, (h + 1) * gp)
             m_prev = m_ref[r, 0:1]
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
-            pexp = jnp.exp(s - m_new)
+            pexp = jnp.exp(s - m_new)                 # [Gp, page]
             alpha = jnp.exp(m_prev - m_new)
             l_ref[r, 0:1] = alpha * l_ref[r, 0:1] + jnp.sum(
                 pexp, axis=-1, keepdims=True)
             m_ref[r, 0:1] = m_new
-            acc_ref[r, :] = acc_ref[r, :] * alpha + jnp.dot(
-                pexp, v, preferred_element_type=jnp.float32)
+            vs = p[h, 2].reshape(1, page)
+            vm = p[h, 3].reshape(1, page)
+            pv = jax.lax.dot_general(
+                pexp * vs, full_t(1), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [Gp, Dh]
+            pv = pv + jnp.sum(pexp * vm, axis=-1, keepdims=True)
+            acc_ref[r, :] = acc_ref[r, :] * alpha + pv
+        return 0
 
-    @pl.when(p == n_p - 1)
-    def _():
-        l = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        out = (acc_ref[:] / l).astype(o_ref.dtype)
-        o_ref[0] = out.reshape(hkv, gp, out.shape[-1])
+    jax.lax.fori_loop(0, npages, loop, 0)
+
+    l = jnp.maximum(l_ref[:, 0:1], 1e-30)
+    out = (acc_ref[:] / l).astype(o_ref.dtype)
+    o_ref[0] = out.reshape(hkv, gp, out.shape[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("page", "sm_scale",
                                              "interpret"))
-def _decode_call(page_table, seq_lens, q, kc, ks, km, vc, vs, vm, *,
+def _decode_call(page_table, seq_lens, q, codes, params, *,
                  page, sm_scale, interpret):
     b, hkv, gp, dh = q.shape
-    maxp = page_table.shape[1]
-
-    def kv_code_idx(b_, p, pt, sl):
-        return (pt[b_, p], 0, 0, 0)
-
-    def kv_param_idx(b_, p, pt, sl):
-        return (pt[b_, p], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, maxp),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hkv, gp, dh), lambda b_, p, pt, sl:
+            pl.BlockSpec((1, hkv, gp, dh), lambda b_, pt, sl:
                          (b_, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, page, dh // 2), kv_code_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, page), kv_param_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, page), kv_param_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, page, dh // 2), kv_code_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, page), kv_param_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, page), kv_param_idx,
-                         memory_space=pltpu.VMEM),
+            # pin pools to HBM: with ANY a small (test-sized) pool may
+            # land in VMEM, where Mosaic rejects DMA slices whose last
+            # dim (Dh/2 = 64) is not lane-tile aligned
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, hkv, gp, dh), lambda b_, p, pt, sl:
+        out_specs=pl.BlockSpec((1, hkv, gp, dh), lambda b_, pt, sl:
                                (b_, 0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, 2, hkv, dh // 2, page), jnp.uint8),
+            pltpu.VMEM((2, hkv, 4, page), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((hkv * gp, 128), jnp.float32),   # m
             pltpu.VMEM((hkv * gp, 128), jnp.float32),   # l
             pltpu.VMEM((hkv * gp, dh), jnp.float32),    # acc
@@ -148,9 +162,9 @@ def _decode_call(page_table, seq_lens, q, kc, ks, km, vc, vs, vm, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, gp, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(page_table, seq_lens, q, kc, ks, km, vc, vs, vm)
+    )(page_table, seq_lens, q, codes, params)
 
 
 def paged_decode(q: jax.Array, cache: PagedKVCache, layer: int,
@@ -167,7 +181,7 @@ def paged_decode(q: jax.Array, cache: PagedKVCache, layer: int,
     Returns [B, Hq, Dh].
     """
     b, hq, dh = q.shape
-    hkv = cache.k_codes[layer].shape[1]
+    hkv = cache.num_kv_heads
     g = hq // hkv
     gp = max(8, g)
     sm_scale = 1.0 / math.sqrt(dh)
@@ -176,8 +190,7 @@ def paged_decode(q: jax.Array, cache: PagedKVCache, layer: int,
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
     out = _decode_call(
         page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), qg,
-        cache.k_codes[layer], cache.k_scale[layer], cache.k_min[layer],
-        cache.v_codes[layer], cache.v_scale[layer], cache.v_min[layer],
+        cache.codes[layer], cache.params[layer],
         page=cache.page_size, sm_scale=sm_scale,
         interpret=_use_interpret())
     return out[:, :, :g].reshape(b, hq, dh)

@@ -90,25 +90,68 @@ def shard_linear_col(w, bias, calib: SiteCalib, tp: int, fmt: str):
 
 
 def shard_linear_row(w, bias, calib: SiteCalib, tp: int, fmt: str,
-                     w_scale: str = "tensor"):
+                     w_scale: str = "tensor", exact: bool = False):
     """Row-parallel: shard in_features with per-shard ARC selection.
 
     The global scale (tensor scalar or per-channel [N] vector) is
     computed over the FULL weight and passed to every shard, so the
     quantization grid is identical to the unsharded pack.
 
-    Returns (stacked packed weight, local residual indices [tp, sel],
+    exact=False (default): each shard selects its own top KE/tp local
+    channels — cheap (everything stays shard-local) but a different
+    channel set + residual grouping than the single-device pack.
+
+    exact=True (QuantConfig.tp_exact_arc): keep the GLOBAL top-KE set
+    and its 16-element residual grouping. The residual block (the
+    last KE augmented columns, in global ascending-importance order)
+    is partitioned group-aligned across shards: shard i's pack
+    duplicates residual chunk i's channels from the FULL weight
+    (wherever they live), and at run time the activation residual is
+    rebuilt exactly via scatter + psum (_quantize_x_rowshard_exact).
+    Bit-identical numerics to the unsharded pack; requires
+    (KE/tp) % 16 == 0.
+
+    Returns (stacked packed weight, residual index array [tp, *],
+    residual POSITION array [tp, *] (exact mode; else None),
     per-shard select count, replicated bias or None)."""
     n, k = w.shape
     assert k % tp == 0 and (k // tp) % 16 == 0, (k, tp)
     ks = k // tp
-    sel = (calib.select_num // tp) // 64 * 64 if tp > 1 else \
-        calib.select_num
     ridx = np.asarray(calib.reorder_index)
     if w_scale == "channel":
         gs = N.nvfp4_global_scale(w, per_row=True)[:, 0]
     else:
         gs = N.nvfp4_global_scale(w)
+
+    if exact and calib.select_num and tp > 1:
+        ke = calib.select_num
+        assert (ke // tp) % 16 == 0, (
+            f"exact-ARC TP needs (select_num/tp) % 16 == 0, got "
+            f"select_num={ke} tp={tp}")
+        kc = ke // tp
+        top = ridx[-ke:]                    # global residual order
+        pws, idx_rows, pos_rows = [], [], []
+        for i in range(tp):
+            chunk = top[i * kc:(i + 1) * kc]
+            pws.append(packing.pack_weight_arc(
+                w[:, i * ks:(i + 1) * ks], None, kc, bias=None,
+                fmt=fmt, global_scale=gs,
+                aug_cols=w[:, chunk]))
+            lo, hi = i * ks, (i + 1) * ks
+            own = np.nonzero((top >= lo) & (top < hi))[0]
+            idx_rows.append(top[own] - lo)  # local channel ids
+            pos_rows.append(own)            # positions in [0, KE)
+        mo = max(len(r) for r in idx_rows)
+        idx = np.zeros((tp, mo), np.int32)
+        pos = np.full((tp, mo), ke, np.int32)   # ke = drop sentinel
+        for i in range(tp):
+            idx[i, :len(idx_rows[i])] = idx_rows[i]
+            pos[i, :len(pos_rows[i])] = pos_rows[i]
+        return (_stack_packed(pws), jnp.asarray(idx),
+                jnp.asarray(pos), kc, bias)
+
+    sel = (calib.select_num // tp) // 64 * 64 if tp > 1 else \
+        calib.select_num
     pws, idx_rows = [], []
     for i in range(tp):
         perm = _local_perm(ridx, i * ks, (i + 1) * ks)
@@ -119,7 +162,7 @@ def shard_linear_row(w, bias, calib: SiteCalib, tp: int, fmt: str,
                         np.zeros((0,), np.int32))
     idx = jnp.asarray(np.stack(idx_rows)) if sel else \
         jnp.zeros((tp, 0), jnp.int32)
-    return _stack_packed(pws), idx, sel, bias
+    return _stack_packed(pws), idx, None, sel, bias
 
 
 def shard_layer_params_tp(cfg: ModelConfig, layer_p: Params,
@@ -140,18 +183,25 @@ def shard_layer_params_tp(cfg: ModelConfig, layer_p: Params,
         out[proj] = shard_linear_col(
             layer_p[proj]["w"], layer_p[proj].get("b"),
             layer_calib["mlp_in"], tp, fmt)
-    o_pw, o_idx, o_sel, _ = shard_linear_row(
+    exact = getattr(qcfg, "tp_exact_arc", False)
+    o_pw, o_idx, o_pos, o_sel, _ = shard_linear_row(
         layer_p["o"]["w"], None, layer_calib["o_in"], tp, fmt,
-        qcfg.w_scale)
-    d_pw, d_idx, d_sel, _ = shard_linear_row(
+        qcfg.w_scale, exact=exact)
+    d_pw, d_idx, d_pos, d_sel, _ = shard_linear_row(
         layer_p["down"]["w"], None, layer_calib["down_in"], tp, fmt,
-        qcfg.w_scale)
+        qcfg.w_scale, exact=exact)
     out["o"] = o_pw
     out["down"] = d_pw
     out["o_idx"] = o_idx
     out["down_idx"] = d_idx
+    if o_pos is not None:
+        out["o_pos"] = o_pos
+    if d_pos is not None:
+        out["down_pos"] = d_pos
     out["_o_sel"] = o_sel        # static ints, popped before jit
     out["_down_sel"] = d_sel
+    out["_o_ke"] = layer_calib["o_in"].select_num
+    out["_down_ke"] = layer_calib["down_in"].select_num
     return out
 
 
@@ -177,7 +227,10 @@ def shard_model_params_tp(cfg: ModelConfig, params: Params, calib,
     sels: List[Dict[str, int]] = []
     for li, lp in enumerate(params["layers"]):
         slp = shard_layer_params_tp(cfg, lp, calib[li], qcfg, tp)
-        sels.append({"o": slp.pop("_o_sel"), "down": slp.pop("_down_sel")})
+        sels.append({"o": slp.pop("_o_sel"),
+                     "down": slp.pop("_down_sel"),
+                     "_o_ke": slp.pop("_o_ke"),
+                     "_down_ke": slp.pop("_down_ke")})
         placed = {}
         for k, v in slp.items():
             if k in ("attn_norm", "mlp_norm"):
@@ -237,6 +290,52 @@ def _quantize_x_rowshard(x_local, idx_local, sel: int, kq: int):
     return xa.astype(jnp.bfloat16), gx
 
 
+def _quantize_x_rowshard_exact(x_local, own_idx, own_pos, sel_chunk: int,
+                               ke: int, kq: int):
+    """Exact-ARC row-parallel activation quantize: rebuild the GLOBAL
+    residual block (the single-device quantize_x_arc's last-KE
+    columns, same channel set, order, and 16-grouping) via scatter +
+    psum, then take this shard's group-aligned chunk. Bit-identical
+    to the unsharded path.
+
+    own_idx/own_pos: [mo] local channel ids owned by this shard that
+    belong to the global top-KE, and their positions within [0, KE)
+    (padded with pos=KE → dropped by the scatter)."""
+    m, ks = x_local.shape
+    local_max = jnp.max(jnp.abs(x_local)).astype(jnp.float32)
+    gmax = jax.lax.pmax(local_max, "tp")
+    gx = jnp.maximum(gmax / N.NVFP4_GLOBAL_DIV, 1e-12)
+    xs = x_local.astype(jnp.float32) / gx
+    qx = _nvfp4_qdq_scaled(xs)
+    err = xs - qx
+    blk = jnp.zeros((m, ke), jnp.float32).at[:, own_pos].set(
+        jnp.take(err, own_idx, axis=1), mode="drop")
+    blk = jax.lax.psum(blk, "tp")
+    i = jax.lax.axis_index("tp")
+    chunk = jax.lax.dynamic_slice_in_dim(blk, i * sel_chunk, sel_chunk,
+                                         axis=1)
+    resq = _nvfp4_qdq_scaled(chunk)
+    parts = [qx, resq]
+    pad = kq - ks - sel_chunk
+    if pad:
+        parts.append(jnp.zeros((m, pad), jnp.float32))
+    return jnp.concatenate(parts, axis=1).astype(jnp.bfloat16), gx
+
+
+def quantize_x_row_site(x_local, p: Params, name: str,
+                        sels: Dict[str, Any], kq: int):
+    """Dispatch a row-parallel site's activation quantize: exact-ARC
+    (global set, scatter+psum) when the pack carries position arrays,
+    else the per-shard re-balanced path."""
+    pos_key = f"{name}_pos"
+    if pos_key in p:
+        return _quantize_x_rowshard_exact(
+            x_local, p[f"{name}_idx"][0], p[pos_key][0],
+            sels[name], sels[f"_{name}_ke"], kq)
+    return _quantize_x_rowshard(x_local, p[f"{name}_idx"][0],
+                                sels[name], kq)
+
+
 def tp_quant_layer_forward(cfg: ModelConfig, p: Params, x, cos, sin,
                            layer_calib: Dict[str, SiteCalib],
                            row_sels: Dict[str, int],
@@ -265,8 +364,7 @@ def tp_quant_layer_forward(cfg: ModelConfig, p: Params, x, cos, sin,
     attn2 = attn.reshape(b * t, hq_l * cfg.head_dim)   # local K-shard
 
     o_pw = _unstack(p["o"])
-    oa, go = _quantize_x_rowshard(attn2, p["o_idx"][0],
-                                  row_sels["o"], o_pw.kq)
+    oa, go = quantize_x_row_site(attn2, p, "o", row_sels, o_pw.kq)
     o_part = gk.gemm_dequant(oa, o_pw, go, out_dtype=jnp.float32)
     o = jax.lax.psum(o_part, "tp").astype(x.dtype).reshape(b, t, d)
     x = x + o
@@ -281,8 +379,7 @@ def tp_quant_layer_forward(cfg: ModelConfig, p: Params, x, cos, sin,
     inter = (jax.nn.silu(gate) * up).astype(dt)
 
     d_pw = _unstack(p["down"])
-    ia, gi = _quantize_x_rowshard(inter, p["down_idx"][0],
-                                  row_sels["down"], d_pw.kq)
+    ia, gi = quantize_x_row_site(inter, p, "down", row_sels, d_pw.kq)
     d_part = gk.gemm_dequant(ia, d_pw, gi, out_dtype=jnp.float32)
     dn = jax.lax.psum(d_part, "tp").astype(x.dtype).reshape(b, t, d)
     return x + dn

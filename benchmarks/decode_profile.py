@@ -93,12 +93,40 @@ def main():
     seq_lens = jnp.full((b,), 777, jnp.int32)
     app_pos = seq_lens[:, None]
 
-    def append_f(k4, v4):
-        c2 = paged.append_kv(cache, 0, k4.astype(jnp.float32),
-                             v4.astype(jnp.float32), pt, app_pos)
-        return c2.k_scale[0]
+    # append timed with the cache as the SCAN CARRY so the scatters
+    # update in place (a loop-constant cache would force a full pool
+    # copy per step and also lets DCE drop the codes scatter)
     v4 = k4 + 1
-    total += t("append_kv", append_f, k4, v4, mult=28)
+    import time as _time
+
+    def mk_append_loop(length):
+        @jax.jit
+        def loop(codes0, params0, k4, v4):
+            def body(carry, _):
+                cache_l = paged.PagedKVCache((carry[0],), (carry[1],))
+                c2 = paged.append_kv(cache_l, 0,
+                                     k4.astype(jnp.float32),
+                                     v4.astype(jnp.float32), pt,
+                                     app_pos)
+                return (c2.codes[0], c2.params[0]), None
+            (c, p), _ = jax.lax.scan(body, (codes0, params0), None,
+                                     length=length)
+            return jnp.sum(p) + jnp.sum(c[0, 0, 0].astype(jnp.float32))
+        return loop
+
+    l1, l2 = mk_append_loop(64), mk_append_loop(576)
+    args = (cache.codes[0], cache.params[0], k4, v4)
+    float(l1(*args)); float(l2(*args))
+    ts = []
+    for _ in range(5):
+        t0 = _time.perf_counter(); float(l1(*args))
+        t1 = _time.perf_counter(); float(l2(*args))
+        t2 = _time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / (576 - 64))
+    dt = min(ts)
+    print(f"{'append_kv':28s} {dt*1e6:9.2f} us  x 28 ="
+          f" {dt*1e6*28:9.1f} us", flush=True)
+    total += dt * 28
 
     qd = jax.random.normal(key, (b, cfg.num_heads, cfg.head_dim),
                            jnp.float32)

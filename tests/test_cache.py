@@ -89,8 +89,9 @@ def test_append_masked_positions(small_cache):
     positions = jnp.stack([jnp.arange(t),
                            jnp.full((t,), -1, jnp.int32)])
     cache = paged.append_kv(cache, 0, k, v, page_table, positions)
-    assert int(jnp.sum(cache.k_scale[0][2])) == 0  # page 2 untouched
-    assert float(jnp.max(cache.k_scale[0][1])) > 0
+    # params axis 2 row 0 = k_scale
+    assert int(jnp.sum(cache.params[0][2, :, paged.K_SCALE])) == 0
+    assert float(jnp.max(cache.params[0][1, :, paged.K_SCALE])) > 0
 
 
 def _dense_ref_decode(q, k, v, seq_lens):
