@@ -48,6 +48,12 @@ class EngineConfig:
     # (memory oversubscription; requests queue when the pool is full).
     # False: static layout, slot i owns pages [1+i*pps, 1+(i+1)*pps).
     dynamic_pages: bool = False
+    # >0: prompts longer than this prefill in chunks of this many
+    # tokens — each chunk attends over the dequantized paged prefix +
+    # the current bf16 chunk (so arbitrarily long prompts use bounded
+    # activation memory). 0 = single-shot only (reference behavior:
+    # kv_cache.py:174-188 just raises).
+    prefill_chunk: int = 0
 
     @property
     def pages_per_seq(self) -> int:
@@ -274,6 +280,54 @@ class InferenceEngine:
         logits = self._head_logits(qparams, last)
         return logits, cache
 
+    def _prefill_chunk_forward(self, qparams, cache, page_table,
+                               tokens, lens, start: int):
+        """One prefill chunk beginning at absolute position `start`
+        (static): appends the chunk's K/V into the paged pool and
+        attends over [dequantized cached prefix | current bf16 chunk]
+        with causal offset. Returns (chunk-local last logits, cache).
+
+        The prefix K/V round-trips through the int4 pool — the same
+        values decode later reads, so chunked and single-shot prefill
+        differ only by KV quantization of the prefix."""
+        cfg, qcfg, calib = self.cfg, self.qcfg, self.calib
+        b, t = tokens.shape
+        positions = start + jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        cos, sin = llama.rope_cos_sin(cfg, positions)
+        x = qparams["embed"][tokens]
+        dt = x.dtype
+        append_pos = jnp.where(positions < lens[:, None], positions, -1)
+
+        for li, p in enumerate(qparams["layers"]):
+            lc = calib[li]
+            h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
+            q, k, v = _attn_common(cfg, p, h.reshape(b * t, -1), lc,
+                                   qcfg, b, t, dt)
+            q, k_r = llama.apply_rope(q, k, cos, sin)
+            cache = paged.append_kv(cache, li, k_r, v, page_table,
+                                    append_pos)
+            if start:
+                kp, vp = paged.gather_kv(cache, li, page_table,
+                                         max_len=start, dtype=dt)
+                attn = flash_attention(
+                    q, jnp.concatenate([kp, k_r.astype(dt)], axis=1),
+                    jnp.concatenate([vp, v.astype(dt)], axis=1),
+                    q_offset=start)
+            else:
+                attn = flash_attention(q, k_r, v)
+            x = x + _o_proj(cfg, p, attn, lc, qcfg, b, t, dt)
+            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+            x = x + _mlp(cfg, p, h, lc, qcfg)
+
+        x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
+        # chunk-local index of each row's last valid token (clamped;
+        # the host keeps only rows whose last token is in this chunk)
+        local_last = jnp.clip(lens - 1 - start, 0, t - 1)
+        last = jnp.take_along_axis(
+            x, local_last[:, None, None].astype(jnp.int32)
+            .repeat(x.shape[-1], -1), axis=1)[:, 0]
+        return self._head_logits(qparams, last), cache
+
     def _decode_forward(self, qparams, cache, page_table, seq_lens,
                         tokens, active):
         """One token per active slot. tokens [B] i32; active [B] bool.
@@ -310,12 +364,20 @@ class InferenceEngine:
 
     def prefill(self, state, tokens, lens):
         """Prefill the batch. tokens [B, T] right-padded; lens [B]
-        (0 = inactive slot). Returns (last_logits, new_state)."""
+        (0 = inactive slot). Returns (last_logits, new_state).
+
+        Prompts longer than EngineConfig.prefill_chunk (when set)
+        stream through _prefill_chunk_forward chunk by chunk — bounded
+        activation memory for arbitrarily long prompts (the reference
+        can only raise, kv_cache.py:174-188)."""
         if tokens.shape[1] > self.ecfg.max_seq_len:
             # KV capacity hard error (reference kv_cache.py:174-188)
             raise ValueError(
                 f"prefill length {tokens.shape[1]} exceeds KV capacity "
                 f"max_seq_len={self.ecfg.max_seq_len}")
+        c = self.ecfg.prefill_chunk
+        if c and tokens.shape[1] > c:
+            return self._prefill_chunked(state, tokens, lens, c)
         cache, pt, seq_lens = state
         key = tuple(tokens.shape)
         if key not in self._prefill_jit:
@@ -329,6 +391,35 @@ class InferenceEngine:
         # joining slots (lens>0) restart their sequence; others keep
         # their running length
         lens = lens.astype(jnp.int32)
+        new_lens = jnp.where(lens > 0, lens, seq_lens)
+        return logits, (cache, pt, new_lens)
+
+    def _prefill_chunked(self, state, tokens, lens, c: int):
+        """Host loop over prefill chunks (one compile per chunk
+        INDEX: the gathered-prefix length is static per chunk)."""
+        cache, pt, seq_lens = state
+        b, t = tokens.shape
+        t_pad = -(-t // c) * c
+        if t_pad != t:
+            tokens = jnp.pad(tokens, ((0, 0), (0, t_pad - t)))
+        lens = lens.astype(jnp.int32)
+        logits = None
+        for start in range(0, t_pad, c):
+            key = ("chunk", b, c, start)
+            if key not in self._prefill_jit:
+                def f(qparams, cache, pt, toks, lens, start=start):
+                    return self._prefill_chunk_forward(
+                        qparams, cache, pt, toks, lens, start)
+                self._prefill_jit[key] = jax.jit(f, donate_argnums=(1,))
+            lg, cache = self._prefill_jit[key](
+                self.qparams, cache, pt,
+                jax.lax.dynamic_slice_in_dim(tokens, start, c, axis=1),
+                lens)
+            # keep each row's logits from the chunk holding its last
+            # valid token
+            here = (lens - 1 >= start) & (lens - 1 < start + c)
+            logits = lg if logits is None else jnp.where(
+                here[:, None], lg, logits)
         new_lens = jnp.where(lens > 0, lens, seq_lens)
         return logits, (cache, pt, new_lens)
 

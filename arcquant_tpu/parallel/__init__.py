@@ -7,3 +7,4 @@ from .tp import (shard_layer_params_tp, shard_model_params_tp,
                  tp_quant_layer_forward, tp_quant_model_forward,
                  TPContext)
 from .ring import ring_attention, sp_flash_prefill
+from .pp import stack_stage_params, pp_quant_model_forward
