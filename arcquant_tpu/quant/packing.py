@@ -40,9 +40,14 @@ K_PAD_MULTIPLE = 512
 class PackedWeight(NamedTuple):
     """A quantized+packed linear weight, w4 format: nibble-packed
     e2m1x codes (e2m1 with mag codes 0/1 swapped — see e2m1_to_e2m1x),
-    4.5 bits/element (a pytree of arrays)."""
+    4.5 bits/element (a pytree of arrays).
+
+    scales hold ue4m3 BYTES (uint8, bitcast of float8_e4m3fn) — the
+    GEMM kernel wants u8 and an on-the-fly bitcast materializes a full
+    copy of the scale array every call (measured 1.6 ms/step across a
+    28-layer decode); storing bytes makes it free."""
     codes: jax.Array        # uint8 [Kq//2, N]
-    scales: jax.Array       # float8_e4m3fn [Kq//16, N]
+    scales: jax.Array       # uint8 ue4m3 bytes [Kq//16, N]
     global_scale: jax.Array  # f32 scalar
     bias: Optional[jax.Array]  # [N] or None
 
@@ -62,7 +67,7 @@ class PackedWeightI8(NamedTuple):
     GEMM — but decode is a single hardware convert, ~1.4× faster at
     decode shapes on v5e (see kernels/gemm.py module docstring)."""
     codes: jax.Array        # int8 [Kq, N]
-    scales: jax.Array       # float8_e4m3fn [Kq//16, N]
+    scales: jax.Array       # uint8 ue4m3 bytes [Kq//16, N]
     global_scale: jax.Array  # f32 scalar
     bias: Optional[jax.Array]  # [N] or None
 
@@ -250,18 +255,27 @@ def pack_weight_arc(w: jax.Array, reorder_index: jax.Array | None,
         smask = (jnp.arange(kq // 16) < ngroups_real)[None, :]
         scales = jnp.where(smask, scales.astype(jnp.float32),
                            0.0).astype(jnp.float8_e4m3fn)
+    scales_u8 = jax.lax.bitcast_convert_type(scales, jnp.uint8)
     if fmt == "w8":
         return PackedWeightI8(codes=codes_to_mag2_i8(codes).T,  # [Kq, N]
-                              scales=scales.T,
+                              scales=scales_u8.T,
                               global_scale=gs,
                               bias=bias)
     if fmt != "w4":
         raise ValueError(f"unknown weight format {fmt!r}")
     packed = pack_nibbles(e2m1_to_e2m1x(codes), axis=-1)  # [N, Kq//2]
     return PackedWeight(codes=packed.T,             # [Kq//2, N]
-                        scales=scales.T,            # [Kq//16, N]
+                        scales=scales_u8.T,         # [Kq//16, N]
                         global_scale=gs,
                         bias=bias)
+
+
+def scales_f8(scales: jax.Array) -> jax.Array:
+    """View a packed weight's ue4m3 scale BYTES as float8_e4m3fn
+    (accepts legacy f8-typed arrays unchanged)."""
+    if scales.dtype == jnp.uint8:
+        return jax.lax.bitcast_convert_type(scales, jnp.float8_e4m3fn)
+    return scales
 
 
 def dequantize_weight(pw, k: int, select_num: int,
@@ -270,11 +284,11 @@ def dequantize_weight(pw, k: int, select_num: int,
     (golden path for parity tests; the global scale is NOT folded in,
     matching arc_quantize_w_qdq). Accepts both w4 and w8 packings."""
     if isinstance(pw, PackedWeightI8):
-        s = pw.scales.T.astype(jnp.float32)         # [N, Kq//16]
+        s = scales_f8(pw.scales).T.astype(jnp.float32)   # [N, Kq//16]
         vals = pw.codes.T.astype(jnp.float32) * 0.5  # [N, Kq]
         n, kq = vals.shape
         g = vals.reshape(n, kq // 16, 16) * s[..., None]
         return g.reshape(n, kq)[:, :k + select_num].astype(dtype)
     codes = e2m1x_to_e2m1(unpack_nibbles(pw.codes.T, axis=-1))  # [N, Kq]
-    full = dequantize_nvfp4_groups(codes, pw.scales.T, dtype)
+    full = dequantize_nvfp4_groups(codes, scales_f8(pw.scales).T, dtype)
     return full[:, :k + select_num]
