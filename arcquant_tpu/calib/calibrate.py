@@ -128,6 +128,14 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
     """Run the full calibration pipeline.
 
     Args:
+      params: model params. params["layers"] may be a list of layer
+        pytrees OR a callable `layers(li) -> layer pytree` that
+        materializes one layer at a time — the streamed analog of the
+        reference's GPU<->CPU layer swap (utilize.py:239-247): a 7B
+        bf16 model does not fit HBM next to the residual stream, so
+        big-model calibration provides layers lazily (from host
+        safetensors or a dummy-weight generator) and each is freed
+        after its pass.
       tokens: [S, T] calibration token ids.
       metric: act-stat metric (max / hessian / score).
       select_batch: how many samples feed the select-proportion count
@@ -143,9 +151,11 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
     nsel = min(select_batch or s, s)
     chunk = max(1, min(s, _CHUNK_TOKENS // max(t, 1)))
 
+    # embed table as an ARGUMENT: a closed-over array is a jaxpr
+    # constant, and a 1 GB constant blows up the (remote) compile
     @jax.jit
-    def embed(toks):
-        return params["embed"][toks]
+    def embed(table, toks):
+        return table[toks]
 
     @jax.jit
     def layer_chunk(p, x, cos, sin):
@@ -157,7 +167,7 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
     # residual stream per chunk (the only cross-layer state; total
     # S·T·D — for 128x2048 on a 7B model ~1.9 GB bf16)
     bounds = list(range(0, s, chunk))
-    xs = [embed(tokens[i:i + chunk]) for i in bounds]
+    xs = [embed(params["embed"], tokens[i:i + chunk]) for i in bounds]
     ropes = {}
     for xc in xs:
         c = xc.shape[0]
@@ -165,9 +175,13 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
             pos = jnp.arange(t)[None, :].repeat(c, 0)
             ropes[c] = llama.rope_cos_sin(cfg, pos)
 
+    layers = params["layers"]
+    streamed = callable(layers)
+
     per_layer_stats: List[Dict[str, jax.Array]] = []
     per_layer_fracs: List[Dict[str, float]] = []
-    for p in params["layers"]:
+    for li in range(cfg.num_layers):
+        p = layers(li) if streamed else layers[li]
         acc: Dict[str, jax.Array] = {site: None for site in QUANT_SITES}
         fr: Dict[str, list] = {site: [] for site in QUANT_SITES}
         for j, xc in enumerate(xs):
@@ -176,6 +190,10 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
             for site in QUANT_SITES:
                 acc[site] = _accumulate(acc[site], stats_c[site], metric)
                 fr[site].append(np.asarray(fracs_c[site]))
+        if streamed:
+            # force the last chunk before freeing the layer's buffers
+            jax.block_until_ready(xs[-1])
+            del p
         if metric == "hessian":
             acc = {site: (2.0 / s) * v for site, v in acc.items()}
         per_layer_stats.append(acc)

@@ -23,6 +23,7 @@ token loop except the host-side page allocator (scheduler.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -34,6 +35,18 @@ from ..models import llama, quantized
 from ..cache import paged
 from ..kernels.attention import flash_attention
 from ..kernels.paged_decode import paged_decode
+
+
+def _xla_options() -> Optional[dict]:
+    """Per-jit XLA compiler options for the engine's step programs
+    (env ARC_XLA_OPTS as JSON, e.g.
+    '{"xla_tpu_sliced_prefetch_min_bytes": "1000000000"}').
+    TPU-only flags cannot ride XLA_FLAGS here: the CLIENT process
+    parses that env with a CPU jaxlib and aborts on unknown flags;
+    per-compile options are forwarded to the remote TPU compiler."""
+    import json
+    s = os.environ.get("ARC_XLA_OPTS", "")
+    return json.loads(s) if s else None
 
 
 @dataclass(frozen=True)
@@ -385,7 +398,9 @@ class InferenceEngine:
                 logits, cache = self._prefill_forward(
                     qparams, cache, pt, tokens, lens)
                 return logits, cache
-            self._prefill_jit[key] = jax.jit(f, donate_argnums=(1,))
+            self._prefill_jit[key] = jax.jit(
+                f, donate_argnums=(1,),
+                compiler_options=_xla_options())
         logits, cache = self._prefill_jit[key](
             self.qparams, cache, pt, tokens, lens)
         # joining slots (lens>0) restart their sequence; others keep
@@ -410,7 +425,9 @@ class InferenceEngine:
                 def f(qparams, cache, pt, toks, lens, start=start):
                     return self._prefill_chunk_forward(
                         qparams, cache, pt, toks, lens, start)
-                self._prefill_jit[key] = jax.jit(f, donate_argnums=(1,))
+                self._prefill_jit[key] = jax.jit(
+                f, donate_argnums=(1,),
+                compiler_options=_xla_options())
             lg, cache = self._prefill_jit[key](
                 self.qparams, cache, pt,
                 jax.lax.dynamic_slice_in_dim(tokens, start, c, axis=1),
@@ -431,7 +448,8 @@ class InferenceEngine:
             def f(qparams, cache, pt, seq_lens, tokens, active):
                 return self._decode_forward(qparams, cache, pt,
                                             seq_lens, tokens, active)
-            self._decode_jit = jax.jit(f, donate_argnums=(1,))
+            self._decode_jit = jax.jit(f, donate_argnums=(1,),
+                                       compiler_options=_xla_options())
         logits, cache, new_lens = self._decode_jit(
             self.qparams, cache, pt, seq_lens, tokens, active)
         return logits, (cache, pt, new_lens)
@@ -462,7 +480,9 @@ class InferenceEngine:
                     body, (cache, seq_lens, first_tokens, active),
                     None, length=num_steps)
                 return toks.T, cache2, lens2
-            self._scan_jit[key] = jax.jit(f, donate_argnums=(1,))
+            self._scan_jit[key] = jax.jit(
+                f, donate_argnums=(1,),
+                compiler_options=_xla_options())
         toks, cache, lens = self._scan_jit[key](
             self.qparams, cache, pt, seq_lens, first_tokens, active)
         return toks, (cache, pt, lens)

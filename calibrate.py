@@ -54,10 +54,27 @@ def main():
         name = os.path.basename(args.model.rstrip("/"))
     else:
         cfg = get_model_config(args.model)
-        params = llama.init_params(cfg, jax.random.PRNGKey(args.seed),
-                                   jnp.bfloat16)
         tok_fn = None
         name = args.model
+        # big dummy models: a full bf16 7B (15 GB) cannot sit in HBM
+        # next to the S x T residual stream, so materialize layers
+        # one at a time (compute_calibration streams + frees them)
+        if cfg.num_layers * cfg.hidden_size > 16 * 4096:
+            keys = jax.random.split(jax.random.PRNGKey(args.seed),
+                                    cfg.num_layers + 1)
+            params = {
+                "embed": jax.random.normal(
+                    keys[0], (cfg.vocab_size, cfg.hidden_size),
+                    jnp.bfloat16) * 0.02,
+                "final_norm": jnp.ones((cfg.hidden_size,),
+                                       jnp.bfloat16),
+                "layers": lambda li: llama.init_layer_params(
+                    cfg, keys[li + 1], jnp.bfloat16),
+            }
+        else:
+            params = llama.init_params(cfg,
+                                       jax.random.PRNGKey(args.seed),
+                                       jnp.bfloat16)
 
     tokens = get_calib_samples(args.dataset, tok_fn,
                                nsamples=args.samples,
