@@ -137,7 +137,9 @@ def exp_blocks(m, n, k):
     floor = (pw.codes.size + su8.size) / 819e9
     print(f"w8 weight-stream floor @819GB/s: {floor*1e6:8.2f} us")
     cfgs = [(2048, 512), (1024, 1024), (2048, 1024), (4096, 512),
-            (1024, 2048), (2048, 2048), (512, 4096), (4096, 1024)]
+            (1024, 2048), (2048, 2048), (512, 4096), (4096, 1024),
+            (512, 2048), (1024, 512), (512, 1024), (3584, 512),
+            (896, 4608), (1792, 2304)]
     for bk, bn in cfgs:
         if kq % bk or n % bn:
             continue
