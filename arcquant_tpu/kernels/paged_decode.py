@@ -182,6 +182,13 @@ def paged_decode(q: jax.Array, cache: PagedKVCache, layer: int,
     """
     b, hq, dh = q.shape
     hkv = cache.num_kv_heads
+    if not _use_interpret() and cache.page_size % 128:
+        # pages are lanes: Mosaic requires DMA slices tile-aligned in
+        # the minor dim, so hardware needs 128-token pages (the
+        # engine default); small pages work only in interpret mode
+        raise ValueError(
+            f"page_size={cache.page_size} must be a multiple of 128 "
+            "(TPU lane width) on hardware")
     g = hq // hkv
     gp = max(8, g)
     sm_scale = 1.0 / math.sqrt(dh)

@@ -256,3 +256,61 @@ def test_exact_arc_tp_bit_parity():
     ref = np.asarray(xa_ref)
     np.testing.assert_array_equal(qx, ref[:, :k])
     np.testing.assert_array_equal(res_a, ref[:, k:k + ke])
+
+
+def test_qwen72b_tp8_shard_contracts():
+    """Scale-out target (BASELINE north star): qwen2.5-72b must shard
+    tp=8 — head counts, fused-QKV boundaries, row-parallel K slices,
+    and the exact-ARC group alignment all divide. Attention
+    projections are packed for real at full dims; the (much larger)
+    MLP is contract-checked."""
+    from arcquant_tpu.config import get_model_config
+    from arcquant_tpu.parallel import tp as tpm
+    from arcquant_tpu.models.quantized import SiteCalib
+    from arcquant_tpu.quant import packing
+
+    cfg = get_model_config("qwen2.5-72b")
+    tp = 8
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
+    d, inter = cfg.hidden_size, cfg.intermediate_size
+    # row-parallel K slices must be 16-aligned; exact-ARC needs
+    # (KE/tp) % 16 == 0 for the standard 12.5% budget
+    assert (d // tp) % 16 == 0 and (inter // tp) % 16 == 0
+    # exact-ARC mode needs select_num % (16*tp) == 0 — deployments
+    # round the calibrated 64-multiple budget up to 16*tp (e.g. the
+    # down site's 12.5% of 29568 = 3648 rounds to 3712 at tp=8)
+    gran = 16 * tp
+    ke_o = -(-(int(0.125 * d) // 64 * 64) // gran) * gran
+    ke_d = -(-(int(0.125 * inter) // 64 * 64) // gran) * gran
+    assert (ke_o // tp) % 16 == 0 and (ke_d // tp) % 16 == 0
+
+    # pack the real-dims attention projections sharded tp=8
+    key = jax.random.PRNGKey(0)
+    qs, kvs = cfg.q_size, cfg.kv_size
+    lp = {
+        "q": {"w": jnp.zeros((qs, d), jnp.bfloat16),
+              "b": jnp.zeros((qs,), jnp.bfloat16)},
+        "k": {"w": jnp.zeros((kvs, d), jnp.bfloat16),
+              "b": jnp.zeros((kvs,), jnp.bfloat16)},
+        "v": {"w": jnp.zeros((kvs, d), jnp.bfloat16),
+              "b": jnp.zeros((kvs,), jnp.bfloat16)},
+    }
+    del key
+    from arcquant_tpu.parallel.tp_engine import _shard_fused_col
+    from arcquant_tpu.config import QuantConfig
+    calib = SiteCalib(jnp.arange(d, dtype=jnp.int32), ke_o)
+    pw = _shard_fused_col(lp, ("q", "k", "v"), calib, tp,
+                          QuantConfig(w_scale="channel"))
+    # stacked [tp, ...]: each shard owns whole heads of q AND k AND v
+    n_local = (qs + 2 * kvs) // tp
+    assert pw.codes.shape[0] == tp
+    assert pw.codes.shape[2] == n_local
+    assert n_local % cfg.head_dim == 0
+
+    o_pw, o_idx, o_pos, o_sel, _ = tpm.shard_linear_row(
+        jnp.zeros((d, d), jnp.bfloat16), None, calib, tp, "w8",
+        "channel", exact=True)
+    assert o_sel == ke_o // tp and o_pos is not None
+    assert o_pw.codes.shape[0] == tp
+    # local kq covers the local K slice + exact-ARC chunk
+    assert o_pw.codes.shape[1] >= d // tp + ke_o // tp
