@@ -51,6 +51,12 @@ class Request:
     done: bool = False
     error: Optional[str] = None
 
+    def tokens_so_far(self) -> List[int]:
+        """Prompt + everything generated; what a (re-)prefill replays.
+        `.prompt` is never mutated — `.output` alone is the
+        authoritative generation (survives preemption cycles)."""
+        return list(self.prompt) + list(self.output)
+
 
 def _bucket(n: int, lo: int = 16) -> int:
     b = lo
@@ -99,6 +105,8 @@ class ContinuousBatcher:
         self.queue: List[Request] = []
         self.finished: List[Request] = []
         self.alloc: Optional[PageAllocator] = None
+        self._stamp = itertools.count()     # admission order
+        self._admitted_at: dict = {}        # slot -> stamp
         if e.dynamic_pages:
             self.alloc = PageAllocator(e.total_pages())
             self._pt = np.zeros((b, e.pages_per_seq), np.int32)
@@ -139,12 +147,14 @@ class ContinuousBatcher:
         joining: List[tuple] = []
         while free and self.queue:
             req = self.queue.pop(0)
-            need = -(-(len(req.prompt) + 1) // ps)
-            if len(req.prompt) > cap or (
+            # a preempted request replays prompt + prior output
+            nprefill = len(req.tokens_so_far())
+            need = -(-(nprefill + 1) // ps)
+            if nprefill > cap or (
                     self.alloc is not None
                     and need > self.alloc.capacity):
                 req.done = True
-                req.error = (f"prompt length {len(req.prompt)} exceeds "
+                req.error = (f"prompt length {nprefill} exceeds "
                              f"KV capacity")
                 self.finished.append(req)
                 continue
@@ -159,16 +169,17 @@ class ContinuousBatcher:
                 self._map_pages(slot, pages)
             free.pop(0)
             self.slots[slot] = req
+            self._admitted_at[slot] = next(self._stamp)
             joining.append((slot, req))
         if not joining:
             return
         b = self.engine.ecfg.max_batch
-        tmax = _bucket(max(len(r.prompt) for _, r in joining))
+        tmax = _bucket(max(len(r.tokens_so_far()) for _, r in joining))
         tmax = min(tmax, self.engine.ecfg.max_seq_len)
         toks = np.zeros((b, tmax), np.int32)
         lens = np.zeros((b,), np.int32)
         for slot, req in joining:
-            p = req.prompt
+            p = req.tokens_so_far()
             toks[slot, :len(p)] = p
             lens[slot] = len(p)
         # Prefill only joining slots (len-0 rows are inert: their
@@ -189,6 +200,7 @@ class ContinuousBatcher:
             self._pt[slot] = 0
             self._pt_dirty = True
         self.slots[slot] = None
+        self._admitted_at.pop(slot, None)
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
@@ -198,17 +210,22 @@ class ContinuousBatcher:
 
     def _preempt(self, slot: int) -> None:
         """Pool exhausted mid-decode: free this sequence's pages and
-        requeue it with its progress folded into the prompt (it will
-        re-prefill when pages free up)."""
+        requeue it (re-prefills prompt + output when pages free up;
+        `.prompt` stays immutable — see Request.tokens_so_far)."""
         req = self.slots[slot]
-        req.prompt = list(req.prompt) + list(req.output)
         self._release_slot(slot)
         self.queue.insert(0, req)
+
+    def _youngest(self) -> int:
+        """Running slot admitted most recently — the preemption victim
+        (minimises wasted re-prefill work vs evicting the oldest)."""
+        return max(self._admitted_at, key=self._admitted_at.get)
 
     def _grow_pages(self) -> None:
         """Dynamic mode: before a decode step, every active slot must
         have the page for its next append position mapped; allocate on
-        demand, preempting on pool exhaustion."""
+        demand, preempting the YOUNGEST running sequence on pool
+        exhaustion (not whichever slot happened to need the page)."""
         if self.alloc is None:
             return
         ps = self.engine.ecfg.page_size
@@ -219,11 +236,15 @@ class ContinuousBatcher:
                 continue
             have = int(np.count_nonzero(self._pt[i]))
             if int(lens_np[i]) // ps >= have:
-                pages = self.alloc.alloc(i, 1)
-                if pages is None:
-                    self._preempt(i)
-                else:
-                    self._map_pages(i, pages)
+                while True:
+                    pages = self.alloc.alloc(i, 1)
+                    if pages is not None:
+                        self._map_pages(i, pages)
+                        break
+                    victim = self._youngest()
+                    self._preempt(victim)
+                    if victim == i:
+                        break       # evicted the requester itself
 
     def step(self) -> List[Request]:
         """Admit + one decode step. Returns requests finished in this

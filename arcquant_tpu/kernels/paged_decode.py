@@ -59,8 +59,15 @@ def _decode_kernel(pt_ref, sl_ref, q_ref, codes_hbm, params_hbm, o_ref,
                 pltpu.make_async_copy(params_hbm.at[pid], p_s.at[slot],
                                       sems.at[slot, 1]))
 
-    for d in dma(0, 0):
-        d.start()
+    # Idle batch rows (seq == 0) are routine: the batcher and
+    # generate() decode all max_batch slots. With npages == 0 the page
+    # loop never waits, so an unconditional prologue start would leave
+    # stray semaphore signals in the shared scratch that corrupt a
+    # LATER grid step's wait (and leave DMAs outstanding at exit).
+    @pl.when(npages > 0)
+    def _():
+        for d in dma(0, 0):
+            d.start()
 
     m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
