@@ -34,7 +34,7 @@ from ..config import ModelConfig, QuantConfig, KV_PAGE_SIZE
 from ..models import llama, quantized
 from ..cache import paged
 from ..kernels.attention import flash_attention
-from ..kernels.paged_decode import paged_decode
+from ..kernels.paged_decode import paged_decode, paged_prefill
 
 
 def _xla_options() -> Optional[dict]:
@@ -62,11 +62,16 @@ class EngineConfig:
     # False: static layout, slot i owns pages [1+i*pps, 1+(i+1)*pps).
     dynamic_pages: bool = False
     # >0: prompts longer than this prefill in chunks of this many
-    # tokens — each chunk attends over the dequantized paged prefix +
-    # the current bf16 chunk (so arbitrarily long prompts use bounded
-    # activation memory). 0 = single-shot only (reference behavior:
-    # kv_cache.py:174-188 just raises).
+    # tokens — each chunk attends directly over the int4 paged pool
+    # (so arbitrarily long prompts use bounded activation memory).
+    # 0 = single-shot only (reference behavior: kv_cache.py:174-188
+    # just raises).
     prefill_chunk: int = 0
+    # Refcounted prefix sharing (requires dynamic_pages): requests
+    # whose prompt shares a page-aligned prefix with a cached one
+    # reuse those pages (one copy in the pool) and prefill only the
+    # suffix via the per-row-start paged flash-prefill.
+    prefix_sharing: bool = False
 
     @property
     def pages_per_seq(self) -> int:
@@ -77,6 +82,9 @@ class EngineConfig:
         # explicit pool would make appends silently drop (mode='drop')
         # and decode read garbage pages (round-1 ADVICE). Dynamic mode
         # only needs one full sequence to fit.
+        if self.prefix_sharing and not self.dynamic_pages:
+            raise ValueError("prefix_sharing requires dynamic_pages "
+                             "(the PageAllocator owns refcounts)")
         if self.dynamic_pages:
             need = self.pages_per_seq + 1
         else:
@@ -244,6 +252,14 @@ class InferenceEngine:
 
     # -- state ------------------------------------------------------------
 
+    def page_groups(self):
+        """(n_groups, pages_per_group, slots_per_group) for the
+        host-side PageAllocator: the single-chip engine has ONE page
+        pool; dp-sharded engines override with per-dp-group local
+        pools (scheduler.ContinuousBatcher builds one free list per
+        group)."""
+        return (1, self.ecfg.total_pages(), self.ecfg.max_batch)
+
     def new_state(self):
         """(cache, page_table, seq_lens). Static layout: slot i gets
         pages [1 + i*pps, 1 + (i+1)*pps); page 0 is the masked-scatter
@@ -294,22 +310,28 @@ class InferenceEngine:
         return logits, cache
 
     def _prefill_chunk_forward(self, qparams, cache, page_table,
-                               tokens, lens, start: int):
-        """One prefill chunk beginning at absolute position `start`
-        (static): appends the chunk's K/V into the paged pool and
-        attends over [dequantized cached prefix | current bf16 chunk]
-        with causal offset. Returns (chunk-local last logits, cache).
+                               tokens, lens, start):
+        """One prefill chunk with per-ROW origin `start` ([B] i32,
+        TRACED): appends the chunk's K/V into the paged pool and
+        attends directly over the int4 pool (prefix + this chunk) via
+        the paged flash-prefill kernel. Returns (chunk-local last
+        logits, cache).
 
-        The prefix K/V round-trips through the int4 pool — the same
-        values decode later reads, so chunked and single-shot prefill
-        differ only by KV quantization of the prefix."""
+        All K/V — including the current chunk's — round-trips through
+        the int4 pool, exactly what decode later reads; chunked
+        prefill is therefore numerics-consistent with decode, and
+        start being data means ONE compile covers every chunk index
+        and ragged (prefix-shared) batches (round-2 VERDICT #4/#7)."""
         cfg, qcfg, calib = self.cfg, self.qcfg, self.calib
         b, t = tokens.shape
-        positions = start + jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        start = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
+        positions = start[:, None] + jnp.arange(t)[None, :]
         cos, sin = llama.rope_cos_sin(cfg, positions)
         x = qparams["embed"][tokens]
         dt = x.dtype
         append_pos = jnp.where(positions < lens[:, None], positions, -1)
+        # tokens now in cache per row (rows past their end keep lens)
+        kv_lens = jnp.minimum(lens, start + t)
 
         for li, p in enumerate(qparams["layers"]):
             lc = calib[li]
@@ -319,16 +341,9 @@ class InferenceEngine:
             q, k_r = llama.apply_rope(q, k, cos, sin)
             cache = paged.append_kv(cache, li, k_r, v, page_table,
                                     append_pos)
-            if start:
-                kp, vp = paged.gather_kv(cache, li, page_table,
-                                         max_len=start, dtype=dt)
-                attn = flash_attention(
-                    q, jnp.concatenate([kp, k_r.astype(dt)], axis=1),
-                    jnp.concatenate([vp, v.astype(dt)], axis=1),
-                    q_offset=start)
-            else:
-                attn = flash_attention(q, k_r, v)
-            x = x + _o_proj(cfg, p, attn, lc, qcfg, b, t, dt)
+            attn = paged_prefill(q, cache, li, page_table, start,
+                                 kv_lens)
+            x = x + _o_proj(cfg, p, attn.astype(dt), lc, qcfg, b, t, dt)
             h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
             x = x + _mlp(cfg, p, h, lc, qcfg)
 
@@ -375,19 +390,26 @@ class InferenceEngine:
 
     # -- public jitted steps ----------------------------------------------
 
-    def prefill(self, state, tokens, lens):
+    def prefill(self, state, tokens, lens, starts=None):
         """Prefill the batch. tokens [B, T] right-padded; lens [B]
         (0 = inactive slot). Returns (last_logits, new_state).
 
         Prompts longer than EngineConfig.prefill_chunk (when set)
         stream through _prefill_chunk_forward chunk by chunk — bounded
         activation memory for arbitrarily long prompts (the reference
-        can only raise, kv_cache.py:174-188)."""
+        can only raise, kv_cache.py:174-188).
+
+        starts (optional [B] i32): per-row ABSOLUTE origin of
+        tokens[:, 0] — prefix sharing prefills only each request's
+        suffix; the shared prefix pages must already be mapped in the
+        page table and lens stay absolute (prefix + suffix)."""
         if tokens.shape[1] > self.ecfg.max_seq_len:
             # KV capacity hard error (reference kv_cache.py:174-188)
             raise ValueError(
                 f"prefill length {tokens.shape[1]} exceeds KV capacity "
                 f"max_seq_len={self.ecfg.max_seq_len}")
+        if starts is not None:
+            return self._prefill_suffix(state, tokens, lens, starts)
         c = self.ecfg.prefill_chunk
         if c and tokens.shape[1] > c:
             return self._prefill_chunked(state, tokens, lens, c)
@@ -410,8 +432,10 @@ class InferenceEngine:
         return logits, (cache, pt, new_lens)
 
     def _prefill_chunked(self, state, tokens, lens, c: int):
-        """Host loop over prefill chunks (one compile per chunk
-        INDEX: the gathered-prefix length is static per chunk)."""
+        """Host loop over prefill chunks. The chunk origin is TRACED
+        data, so ONE compile covers every chunk index (round-2 VERDICT
+        weak #7: keying on the raw start compiled a 16k prompt 32
+        times)."""
         cache, pt, seq_lens = state
         b, t = tokens.shape
         t_pad = -(-t // c) * c
@@ -420,18 +444,10 @@ class InferenceEngine:
         lens = lens.astype(jnp.int32)
         logits = None
         for start in range(0, t_pad, c):
-            key = ("chunk", b, c, start)
-            if key not in self._prefill_jit:
-                def f(qparams, cache, pt, toks, lens, start=start):
-                    return self._prefill_chunk_forward(
-                        qparams, cache, pt, toks, lens, start)
-                self._prefill_jit[key] = jax.jit(
-                f, donate_argnums=(1,),
-                compiler_options=_xla_options())
-            lg, cache = self._prefill_jit[key](
-                self.qparams, cache, pt,
+            lg, cache = self._chunk_step(
+                cache, pt,
                 jax.lax.dynamic_slice_in_dim(tokens, start, c, axis=1),
-                lens)
+                lens, jnp.full((b,), start, jnp.int32))
             # keep each row's logits from the chunk holding its last
             # valid token
             here = (lens - 1 >= start) & (lens - 1 < start + c)
@@ -439,6 +455,48 @@ class InferenceEngine:
                 here[:, None], lg, logits)
         new_lens = jnp.where(lens > 0, lens, seq_lens)
         return logits, (cache, pt, new_lens)
+
+    def _prefill_suffix(self, state, tokens, lens, starts):
+        """Per-row-origin (ragged) prefill: row b's tokens[b, i] sits
+        at absolute position starts[b] + i. Chunks are origin-relative
+        (c-aligned from each row's start), one compile total — the
+        paged flash-prefill kernel takes the origins as data."""
+        cache, pt, seq_lens = state
+        b, t = tokens.shape
+        c = self.ecfg.prefill_chunk or t
+        t_pad = -(-t // c) * c
+        if t_pad != t:
+            tokens = jnp.pad(tokens, ((0, 0), (0, t_pad - t)))
+        lens = lens.astype(jnp.int32)
+        starts = jnp.asarray(starts, jnp.int32)
+        logits = None
+        for off in range(0, t_pad, c):
+            origin = starts + off
+            lg, cache = self._chunk_step(
+                cache, pt,
+                jax.lax.dynamic_slice_in_dim(tokens, off, c, axis=1),
+                lens, origin)
+            here = (lens - 1 >= origin) & (lens - 1 < origin + c)
+            logits = lg if logits is None else jnp.where(
+                here[:, None], lg, logits)
+        new_lens = jnp.where(lens > 0, lens, seq_lens)
+        return logits, (cache, pt, new_lens)
+
+    def _chunk_step(self, cache, pt, toks, lens, start):
+        """One jitted chunk step (the origin `start` [B] is traced, so
+        this compiles once per (B, chunk) shape). TPInferenceEngine
+        overrides with the shard_map'd body."""
+        b, c = toks.shape
+        key = ("chunk", b, c)
+        if key not in self._prefill_jit:
+            def f(qparams, cache, pt, toks, lens, start):
+                return self._prefill_chunk_forward(
+                    qparams, cache, pt, toks, lens, start)
+            self._prefill_jit[key] = jax.jit(
+                f, donate_argnums=(1,),
+                compiler_options=_xla_options())
+        return self._prefill_jit[key](self.qparams, cache, pt, toks,
+                                      lens, start)
 
     def decode_step(self, state, tokens, active):
         """One decode step for every active slot.

@@ -44,19 +44,28 @@ def synthetic_stream(vocab_size: int, n_tokens: int,
     return out
 
 
+# dataset -> (load_dataset args, text column, joiner[, fixed split])
+_HF_SPECS: Dict[str, tuple] = {
+    "wikitext2": (("wikitext", "wikitext-2-raw-v1"), "text", "\n\n"),
+    "ptb": (("ptb_text_only", "penn_treebank"), "sentence", " "),
+    "c4": (("allenai/c4", "en"), "text", " "),
+    "pile": (("monology/pile-uncopyrighted",), "text", "\n\n"),
+    # joined problem prompts (reference utilize.py:352-384 via
+    # human_eval.read_problems); the HF mirror has only "test"
+    "humaneval": (("openai_humaneval",), "prompt", "\n\n", "test"),
+}
+
+
 def _hf_text_stream(dataset: str, split: str) -> str:
     """Join an HF text dataset split (requires network or local cache;
     reference utilize.py:256-384)."""
     from datasets import load_dataset  # lazy: offline envs never import
-    specs: Dict[str, tuple] = {
-        "wikitext2": (("wikitext", "wikitext-2-raw-v1"), "text", "\n\n"),
-        "ptb": (("ptb_text_only", "penn_treebank"), "sentence", " "),
-        "c4": (("allenai/c4", "en"), "text", " "),
-        "pile": (("monology/pile-uncopyrighted",), "text", "\n\n"),
-    }
-    if dataset not in specs:
+    if dataset not in _HF_SPECS:
         raise KeyError(dataset)
-    args, column, joiner = specs[dataset]
+    spec = _HF_SPECS[dataset]
+    args, column, joiner = spec[:3]
+    if len(spec) > 3:
+        split = spec[3]
     ds = load_dataset(*args, split=split)
     return joiner.join(ds[column])
 

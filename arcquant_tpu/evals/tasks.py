@@ -48,15 +48,26 @@ def _hellaswag(d):
 
 
 def _winogrande(d):
+    """lm-eval partial scoring: the COMMON continuation (the text
+    after the blank) is scored under each substituted context —
+    per-choice contexts [pre+option_i], one shared continuation
+    (round-2 VERDICT weak #8; previously option+post given pre)."""
     pron = d["sentence"].index("_")
     pre, post = d["sentence"][:pron], d["sentence"][pron + 1:]
-    return (pre, [d["option1"] + post, d["option2"] + post],
+    return ([pre + d["option1"], pre + d["option2"]], [post, post],
             int(d["answer"]) - 1)
 
 
 def _lambada(d):
     words = d["text"].rsplit(" ", 1)
     return (words[0], [" " + words[1]], 0)
+
+
+# Tasks scored by greedy exact-match of the single continuation
+# (lm-eval's lambada: argmax over the full vocab at every target
+# position must reproduce the final word), not multiple-choice — a
+# single-choice MC item is vacuously correct (round-2 VERDICT weak #5).
+GREEDY_TASKS = frozenset({"lambada"})
 
 
 _MMLU_LETTERS = ("A", "B", "C", "D")
@@ -101,6 +112,14 @@ def _norm_doc(doc):
     return doc
 
 
+def _is_per_choice(ctx) -> bool:
+    """True when the formatter produced one context PER CHOICE (a list
+    of strings, e.g. winogrande's substituted sentences) rather than a
+    single shared context (str) or token-level context (list of int)."""
+    return (isinstance(ctx, (list, tuple)) and len(ctx) > 0
+            and isinstance(ctx[0], str))
+
+
 def _synthetic_docs(task: str, vocab_size: int, seed: int):
     n = int(task.split(":")[1]) if ":" in task else 64
     rng = np.random.default_rng(seed)
@@ -120,7 +139,7 @@ def load_task_docs(task: str, limit: Optional[int] = None,
     subject_or_None). `synthetic:<n>` generates n deterministic
     token-level items; `split` overrides the eval split (used to load
     few-shot source docs)."""
-    if task.startswith("synthetic"):
+    if task.startswith(("synthetic", "greedy")):
         return _synthetic_docs(task, vocab_size, seed)
     from datasets import load_dataset
     args, eval_split, fn, _ = TASK_SPECS[task]
@@ -143,7 +162,8 @@ def _fewshot_prefix(shot_docs, subject, n: int, token_level: bool):
             out.extend(list(ctx))
             out.extend(list(choices[ans]))
         return out
-    parts = [f"{ctx}{choices[ans]}" for ctx, choices, ans, _ in shots]
+    parts = [f"{ctx[ans] if _is_per_choice(ctx) else ctx}{choices[ans]}"
+             for ctx, choices, ans, _ in shots]
     return "\n\n".join(parts) + ("\n\n" if parts else "")
 
 
@@ -188,6 +208,40 @@ def make_loglikelihood_fn(cfg: ModelConfig, qparams,
     return call
 
 
+def make_greedy_match_fn(cfg: ModelConfig, qparams,
+                         qcfg: Optional[QuantConfig], calib):
+    """Returns match(tokens [B, T] padded, ctx_lens [B], lens [B]) ->
+    bool per row: whether greedy argmax over the FULL vocab at every
+    continuation position reproduces tokens[ctx_len:len] (lm-eval's
+    lambada protocol)."""
+    jitted = {}
+
+    def forward(toks):
+        if qcfg is None or qcfg.quant_type == "BF16":
+            return llama.model_forward(cfg, qparams, toks)
+        return quantized.quant_model_forward(cfg, qparams, calib,
+                                             qcfg, toks)
+
+    def match(toks, ctx_lens, lens):
+        logits = forward(toks)
+        pred = jnp.argmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = toks[:, 1:]
+        pos = jnp.arange(tgt.shape[1])[None, :]
+        mask = ((pos >= ctx_lens[:, None] - 1)
+                & (pos < lens[:, None] - 1))
+        ok = jnp.where(mask, pred == tgt, True)
+        # rows with no continuation positions don't count as correct
+        return jnp.all(ok, axis=1) & (lens > ctx_lens)
+
+    def call(toks, ctx_lens, lens):
+        key = toks.shape
+        if key not in jitted:
+            jitted[key] = jax.jit(match)
+        return jitted[key](toks, ctx_lens, lens)
+
+    return call
+
+
 def evaluate_tasks(cfg: ModelConfig, qparams, tasks: Sequence[str],
                    tok_fn: Optional[Callable] = None,
                    qcfg: Optional[QuantConfig] = None, calib=None,
@@ -198,13 +252,18 @@ def evaluate_tasks(cfg: ModelConfig, qparams, tasks: Sequence[str],
     the reference suite runs MMLU with num_fewshot=5,
     evaluate.sh:19-26)."""
     ll = make_loglikelihood_fn(cfg, qparams, qcfg, calib)
+    gm = None
     results = {}
     for task in tasks:
         task = task.strip()
+        greedy = task.split(":")[0] in GREEDY_TASKS or task.startswith(
+            "greedy")
+        if greedy and gm is None:
+            gm = make_greedy_match_fn(cfg, qparams, qcfg, calib)
         docs = load_task_docs(task, limit, cfg.vocab_size, seed)
         shot_docs = []
         if num_fewshot > 0:
-            if task.startswith("synthetic"):
+            if task.startswith(("synthetic", "greedy")):
                 # deterministic held-out shot pool for the air-gapped
                 # pipeline check
                 shot_docs = _synthetic_docs(
@@ -218,10 +277,13 @@ def evaluate_tasks(cfg: ModelConfig, qparams, tasks: Sequence[str],
                 shot_docs = load_task_docs(task, None, cfg.vocab_size,
                                            seed, split=fs_split)
         correct = 0
-        # flatten (doc, choice) pairs
+        # flatten (doc, choice) pairs; greedy tasks contribute ONE
+        # item per doc (the gold continuation, argmax-matched)
         items = []   # (doc_idx, choice_idx, tokens, ctx_len)
         for di, (ctx, choices, ans, subject) in enumerate(docs):
-            token_level = isinstance(ctx, (list, tuple))
+            per_choice = _is_per_choice(ctx)
+            token_level = (isinstance(ctx, (list, tuple))
+                           and not per_choice)
             if num_fewshot > 0:
                 prefix = _fewshot_prefix(shot_docs, subject,
                                          num_fewshot, token_level)
@@ -230,15 +292,24 @@ def evaluate_tasks(cfg: ModelConfig, qparams, tasks: Sequence[str],
                         "_", " ")
                     prefix = (_MMLU_DESCRIPTION.format(subject=subj)
                               + prefix)
-                ctx = (list(prefix) + list(ctx) if token_level
-                       else prefix + ctx)
-            ctx_t = (list(ctx) if isinstance(ctx, (list, tuple))
-                     else tok_fn(ctx))
-            for ci, ch in enumerate(choices):
+                if per_choice:
+                    ctx = [prefix + c for c in ctx]
+                elif token_level:
+                    ctx = list(prefix) + list(ctx)
+                else:
+                    ctx = prefix + ctx
+            if not per_choice:
+                ctx_t = (list(ctx) if token_level else tok_fn(ctx))
+            which = [ans] if greedy else range(len(choices))
+            for ci in which:
+                ch = choices[ci]
+                if per_choice:
+                    ctx_t = tok_fn(ctx[ci])
                 ch_t = (list(ch) if isinstance(ch, (list, tuple))
                         else tok_fn(ch))
                 items.append((di, ci, ctx_t + ch_t, len(ctx_t)))
         scores: Dict[Tuple[int, int], float] = {}
+        score_fn = gm if greedy else ll
         for i in range(0, len(items), batch):
             chunk = items[i:i + batch]
             tmax = _bucket(max(len(t) for _, _, t, _ in chunk))
@@ -249,14 +320,17 @@ def evaluate_tasks(cfg: ModelConfig, qparams, tasks: Sequence[str],
                 toks[j, :len(t)] = t
                 ctx_lens[j] = cl
                 lens[j] = len(t)
-            out = np.asarray(ll(jnp.asarray(toks),
-                                jnp.asarray(ctx_lens),
-                                jnp.asarray(lens)))
+            out = np.asarray(score_fn(jnp.asarray(toks),
+                                      jnp.asarray(ctx_lens),
+                                      jnp.asarray(lens)))
             for j, (di, ci, _, _) in enumerate(chunk):
                 scores[(di, ci)] = float(out[j])
         for di, (ctx, choices, ans, _) in enumerate(docs):
-            best = max(range(len(choices)),
-                       key=lambda ci: scores[(di, ci)])
-            correct += int(best == ans)
+            if greedy:
+                correct += int(scores[(di, ans)] > 0)
+            else:
+                best = max(range(len(choices)),
+                           key=lambda ci: scores[(di, ci)])
+                correct += int(best == ans)
         results[task] = correct / max(len(docs), 1)
     return results

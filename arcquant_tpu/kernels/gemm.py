@@ -39,6 +39,7 @@ w4 activation layout is therefore "even ks first, then odd ks"
 from __future__ import annotations
 
 import functools
+import os
 from typing import Union
 
 import jax
@@ -50,6 +51,19 @@ from ..quant.packing import PackedWeight, PackedWeightI8
 
 # None = auto (interpret unless running on TPU); True/False to force.
 _INTERPRET = None
+
+# M-dispatch threshold: at M >= this, gemm_dequant dequantizes the
+# whole weight to bf16 inline (one fused XLA pass over the codes) and
+# runs XLA's native matmul (~97% MXU on v5e) instead of the fused
+# Pallas kernel (~82% MXU at large M — Mosaic per-k-step overhead).
+# The dequant pass is independent of the preceding layer's matmul, so
+# XLA's latency-hiding scheduler overlaps it. 0 disables the dispatch.
+_XLA_M_ENV = "ARC_GEMM_XLA_M"
+_XLA_M_DEFAULT = 512
+
+
+def _xla_dispatch_m() -> int:
+    return int(os.environ.get(_XLA_M_ENV, str(_XLA_M_DEFAULT)))
 
 
 def _use_interpret() -> bool:
@@ -236,6 +250,52 @@ def split_even_odd(xa: jax.Array) -> jax.Array:
     return jnp.concatenate([xa[:, 0::2], xa[:, 1::2]], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Large-M XLA path (prefill shapes): dequant once + native matmul
+# ---------------------------------------------------------------------------
+
+def _dequant_bf16_jnp(pw: Union[PackedWeight, PackedWeightI8],
+                      scales_u8: jax.Array):
+    """Decode a packed weight to bf16 with the SAME expressions as the
+    fused kernels (identical rounding), as plain jnp ops XLA fuses
+    into one pass over the codes. Returns ([Kq, N] bf16, w4_stacked):
+    for w4 the rows are [even ks; odd ks] (split-half order) — pair
+    with split_even_odd activations to avoid an interleave relayout."""
+    s = _decode_ue4m3_f32(scales_u8.astype(jnp.int32))
+    if isinstance(pw, PackedWeightI8):
+        kq, n = pw.codes.shape
+        w = (pw.codes.astype(jnp.float32).reshape(kq // 16, 16, n)
+             * (s * 0.5)[:, None, :]).reshape(kq, n)
+        return w.astype(jnp.bfloat16), False
+    c = pw.codes.astype(jnp.int32)                    # [Kq/2, N]
+    k2, n = c.shape
+
+    def dec(nib):
+        mag = nib & 0x7
+        bits = ((mag << 22) | ((nib & 0x8) << 28)) + 0x3F000000
+        f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        return jnp.where(mag == 1, 0.0, f)
+
+    se = s[:, None, :]
+    w_even = (dec(c & 0xF).reshape(k2 // 8, 8, n) * se).reshape(k2, n)
+    w_odd = (dec(c >> 4).reshape(k2 // 8, 8, n) * se).reshape(k2, n)
+    w = jnp.concatenate([w_even, w_odd], axis=0).astype(jnp.bfloat16)
+    return w, True
+
+
+def _gemm_xla(xa, pw, scales_u8, gs, gw, out_dtype):
+    """y = (xa @ dequant(pw)) * gs * gw + bias via XLA's native matmul
+    (MXU-bound shapes; VERDICT r2 #1 — reference analog: the prefill
+    path of modeling_arc.py:436 over nvfp4.cu:35)."""
+    w, stacked = _dequant_bf16_jnp(pw, scales_u8)
+    x = (split_even_odd(xa) if stacked else xa).astype(jnp.bfloat16)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = acc * gs * gw
+    if pw.bias is not None:
+        y = y + pw.bias.reshape(1, -1).astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "fmt", "out_dtype", "bm", "bn", "bk", "has_bias", "interpret"))
 def _gemm_call(x, codes, scales_u8, gs, gw, bias, *, fmt, out_dtype,
@@ -332,6 +392,15 @@ def gemm_dequant(xa: jax.Array,
     fmt = "w8" if isinstance(pw, PackedWeightI8) else "w4"
     m = xa.shape[0]
     kq, n = pw.kq, pw.n
+    xm = _xla_dispatch_m()
+    if bm == 0 and bn == 0 and bk == 0 and xm and m >= xm:
+        scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
+                     jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
+        gx = jnp.asarray(gx, jnp.float32)
+        gs = jnp.broadcast_to(gx.reshape(-1, 1), (m, 1))
+        gw = jnp.broadcast_to(
+            pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
+        return _gemm_xla(xa, pw, scales_u8, gs, gw, out_dtype)
     if fmt == "w4":
         xa = split_even_odd(xa)
     x = xa.astype(jnp.bfloat16)

@@ -9,8 +9,9 @@ accumulates online-softmax partial states for its local queries, so
 the full T×T attention is computed exactly with T/n-sized blocks and
 n-1 neighbor exchanges — context length scales linearly with the
 number of devices at constant per-device memory. The ppermute rides
-ICI; XLA overlaps each transfer with the current block's compute
-(standard Ring Attention, Liu et al. 2023 — implemented fresh here).
+ICI (standard Ring Attention, Liu et al. 2023 — implemented fresh
+here); transfer/compute overlap is up to XLA's scheduler and is a
+multi-chip measurement this environment cannot make.
 
 Causal masking is by GLOBAL position: device i's queries cover
 [i·t_l, (i+1)·t_l); an incoming block whose origin is after the local
@@ -102,6 +103,33 @@ def ring_attention(q, k, v, axis: str = "sp", causal: bool = True,
         body, (k, v, i, m0, l0, a0), None, length=n)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return out.astype(out_dtype or q.dtype)
+
+
+def sp_paged_decode(q, cache, layer: int, pt_local, local_lens,
+                    axis: str = "sp"):
+    """Sequence-parallel paged int4 flash-decode (call INSIDE
+    shard_map over `axis`).
+
+    Page ownership shards the pool over sp (ring.py design note, now
+    implemented): shard i's pool slice holds the pages whose global
+    token range falls in its sequence slice; pt_local/local_lens
+    describe only the LOCAL pages/tokens per row. Each shard runs the
+    Pallas flash-decode over its own pages, emitting the online-
+    softmax partial (out, m, l); the exact global output is the
+    (m, l)-weighted merge (reference analog: FlashInfer
+    state_t::merge, state.cuh — here one pmax + two psums over ICI).
+
+    q: [B, Hq, Dh] replicated across sp; returns the same, replicated.
+    """
+    from ..kernels.paged_decode import paged_decode_state
+    out, m, l = paged_decode_state(q, cache, layer, pt_local,
+                                   local_lens)
+    m_g = jax.lax.pmax(m, axis)
+    # empty shards carry (m=-inf, l=0): their weight is exactly 0
+    w = l * jnp.exp(jnp.where(m == _NEG_INF, _NEG_INF, m - m_g))
+    denom = jax.lax.psum(w, axis)
+    num = jax.lax.psum(out.astype(jnp.float32) * w[..., None], axis)
+    return (num / jnp.maximum(denom, 1e-30)[..., None]).astype(q.dtype)
 
 
 def sp_flash_prefill(mesh, q, k, v, causal: bool = True):

@@ -22,7 +22,12 @@ row-parallel sites is the true global max via lax.pmax (2 scalar
 collectives per layer, noise vs the GEMMs).
 
 Everything here runs INSIDE shard_map, so the Pallas kernels see only
-local shards and XLA overlaps the psum with subsequent compute.
+local shards. Communication bill (MEASURED, not asserted — single-
+chip hardware cannot time ICI, but the compiled HLO can be counted:
+benchmarks/tp_collectives.py, results in BASELINE.md): 2 all-reduces
+per layer (o + down psums, [B, D] f32) plus the per-row scale pmax
+reductions; whether XLA's latency-hiding scheduler overlaps them with
+compute is a multi-chip measurement this environment cannot make.
 """
 
 from __future__ import annotations
@@ -263,19 +268,35 @@ def _nvfp4_qdq_scaled(xs):
     return q.reshape(shape)
 
 
-def _quantize_x_global(x2, calib: SiteCalib, kq: int):
+def _quantize_x_global(x2, calib: SiteCalib, kq: int,
+                       per_row: bool = False):
     """Replicated activation quantize (column-parallel sites) — same
-    numerics as kernels.quantize.quantize_x_arc."""
+    numerics as kernels.quantize.quantize_x_arc (per_row honours
+    QuantConfig.act_scale="row": scales then do not depend on batch
+    composition/padding, so TP serving matches the single-chip
+    engine's grids row-for-row)."""
     from ..kernels.quantize import quantize_x_arc
-    return quantize_x_arc(x2, calib.reorder_index, calib.select_num, kq)
+    return quantize_x_arc(x2, calib.reorder_index, calib.select_num,
+                          kq, per_row=per_row)
 
 
-def _quantize_x_rowshard(x_local, idx_local, sel: int, kq: int):
+def _row_gmax(x_local, per_row: bool):
+    """Activation absmax over the FULL (tp-sharded) K dim: scalar, or
+    per-row [M, 1] when per_row (elementwise pmax across shards)."""
+    if per_row:
+        local = jnp.max(jnp.abs(x_local), axis=-1,
+                        keepdims=True).astype(jnp.float32)
+    else:
+        local = jnp.max(jnp.abs(x_local)).astype(jnp.float32)
+    return jax.lax.pmax(local, "tp")
+
+
+def _quantize_x_rowshard(x_local, idx_local, sel: int, kq: int,
+                         per_row: bool = False):
     """Row-parallel activation quantize: x_local [M, Ks] is this
     shard's slice; global scale via pmax over tp."""
     m, ks = x_local.shape
-    local_max = jnp.max(jnp.abs(x_local)).astype(jnp.float32)
-    gmax = jax.lax.pmax(local_max, "tp")
+    gmax = _row_gmax(x_local, per_row)
     gx = jnp.maximum(gmax / N.NVFP4_GLOBAL_DIV, 1e-12)
     xs = x_local.astype(jnp.float32) / gx
     qx = _nvfp4_qdq_scaled(xs)
@@ -291,7 +312,8 @@ def _quantize_x_rowshard(x_local, idx_local, sel: int, kq: int):
 
 
 def _quantize_x_rowshard_exact(x_local, own_idx, own_pos, sel_chunk: int,
-                               ke: int, kq: int):
+                               ke: int, kq: int,
+                               per_row: bool = False):
     """Exact-ARC row-parallel activation quantize: rebuild the GLOBAL
     residual block (the single-device quantize_x_arc's last-KE
     columns, same channel set, order, and 16-grouping) via scatter +
@@ -302,8 +324,7 @@ def _quantize_x_rowshard_exact(x_local, own_idx, own_pos, sel_chunk: int,
     belong to the global top-KE, and their positions within [0, KE)
     (padded with pos=KE → dropped by the scatter)."""
     m, ks = x_local.shape
-    local_max = jnp.max(jnp.abs(x_local)).astype(jnp.float32)
-    gmax = jax.lax.pmax(local_max, "tp")
+    gmax = _row_gmax(x_local, per_row)
     gx = jnp.maximum(gmax / N.NVFP4_GLOBAL_DIV, 1e-12)
     xs = x_local.astype(jnp.float32) / gx
     qx = _nvfp4_qdq_scaled(xs)
@@ -323,7 +344,8 @@ def _quantize_x_rowshard_exact(x_local, own_idx, own_pos, sel_chunk: int,
 
 
 def quantize_x_row_site(x_local, p: Params, name: str,
-                        sels: Dict[str, Any], kq: int):
+                        sels: Dict[str, Any], kq: int,
+                        per_row: bool = False):
     """Dispatch a row-parallel site's activation quantize: exact-ARC
     (global set, scatter+psum) when the pack carries position arrays,
     else the per-shard re-balanced path."""
@@ -331,9 +353,9 @@ def quantize_x_row_site(x_local, p: Params, name: str,
     if pos_key in p:
         return _quantize_x_rowshard_exact(
             x_local, p[f"{name}_idx"][0], p[pos_key][0],
-            sels[name], sels[f"_{name}_ke"], kq)
+            sels[name], sels[f"_{name}_ke"], kq, per_row=per_row)
     return _quantize_x_rowshard(x_local, p[f"{name}_idx"][0],
-                                sels[name], kq)
+                                sels[name], kq, per_row=per_row)
 
 
 def tp_quant_layer_forward(cfg: ModelConfig, p: Params, x, cos, sin,

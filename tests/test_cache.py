@@ -132,3 +132,63 @@ def test_paged_decode_parity(small_cache, seq_lens):
     ref = _dense_ref_decode(q, kq, vq, seq_lens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def _dense_ref_prefill(q, k, v, q_starts, seq_lens):
+    """Causal masked attention of a Tq-chunk with per-row origins
+    (f32). q: [B, Tq, Hq, D]; k/v: [B, Tk, Hkv, D]."""
+    b, tq, hq, dh = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    kk = jnp.repeat(k, g, axis=2)
+    vv = jnp.repeat(v, g, axis=2)
+    s = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32),
+                   kk.astype(jnp.float32)) / math.sqrt(dh)
+    qpos = q_starts[:, None] + jnp.arange(tq)[None, :]       # [B, Tq]
+    kpos = jnp.arange(k.shape[1])                            # [Tk]
+    mask = ((kpos[None, None, None, :] <= qpos[:, None, :, None])
+            & (kpos[None, None, None, :] < seq_lens[:, None, None, None]))
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(jnp.isnan(p), 0.0, p)       # fully-masked rows
+    return jnp.einsum("bhij,bjhd->bihd", p, vv.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("starts,seq_lens", [
+    ([0, 0], [12, 20]),          # first chunk, ragged lengths
+    ([16, 16], [36, 29]),        # later chunk, shared start
+    ([16, 4], [36, 24]),         # ragged per-ROW starts (prefix share)
+    ([0, 0], [20, 0]),           # idle row: zero pages, guarded DMA
+])
+def test_paged_prefill_parity(small_cache, starts, seq_lens):
+    from arcquant_tpu.kernels.paged_decode import paged_prefill
+    cfg, cache = small_cache
+    b, h, d = 2, cfg.num_kv_heads, cfg.head_dim
+    hq = cfg.num_heads
+    tq = 20
+    starts = jnp.asarray(starts, jnp.int32)
+    seq_lens = jnp.asarray(seq_lens, jnp.int32)
+    tall = max(int(seq_lens.max()), 1)
+    tk = 48
+    k = jax.random.normal(jax.random.PRNGKey(7), (b, tk, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(8), (b, tk, h, d))
+    page_table = jnp.asarray([[1, 2, 3, 0], [4, 5, 6, 0]], jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(tk)[None], (b, tk))
+    positions = jnp.where(positions < seq_lens[:, None], positions, -1)
+    cache = paged.append_kv(cache, 0, k, v, page_table, positions)
+
+    q = jax.random.normal(jax.random.PRNGKey(9), (b, tq, hq, d))
+    out = paged_prefill(q, cache, 0, page_table, starts, seq_lens)
+
+    kq = paged.dequantize_kv(*paged.quantize_kv(k))[:, :tall]
+    vq = paged.dequantize_kv(*paged.quantize_kv(v))[:, :tall]
+    ref = _dense_ref_prefill(q, kq, vq, starts, seq_lens)
+    got = np.asarray(out, np.float64)
+    want = np.asarray(ref, np.float64)
+    # compare only rows whose query position is within the sequence
+    # (padded/past-end rows are discarded by the engine)
+    for bi in range(b):
+        valid = (np.asarray(starts)[bi] + np.arange(tq)
+                 < np.asarray(seq_lens)[bi])
+        np.testing.assert_allclose(got[bi][valid], want[bi][valid],
+                                   rtol=2e-3, atol=2e-3)

