@@ -175,8 +175,11 @@ def _gemm_w8_kernel(gs_ref, gw_ref, x_ref, codes_ref, scales_ref,
     s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32)) * 0.5
     # group-scale multiply via a 3D sublane-split reshape — Mosaic
     # broadcasts s over the 16 sublanes in the multiply itself, vs the
-    # materialized _expand_groups copy (measured 28.7 -> 23.4 us at
-    # M=32 N=K=4096: 93% of the HBM weight-stream floor)
+    # materialized _expand_groups copy. Same-process A/B at M=32
+    # N=K=4096 (round 3): mul3d 27.98 us ~= noscale 27.75 (the scale
+    # mul is free; 78% of the 21.77 us weight-stream floor — the rest
+    # is per-grid-step fixed cost, see BASELINE.md reconciliation; an
+    # earlier 23.4 us reading was cross-process chip variance)
     w = (w.reshape(bk // 16, 16, bn) * s[:, None, :]).reshape(
         bk, bn).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
@@ -254,21 +257,17 @@ def split_even_odd(xa: jax.Array) -> jax.Array:
 # Large-M XLA path (prefill shapes): dequant once + native matmul
 # ---------------------------------------------------------------------------
 
-def _dequant_bf16_jnp(pw: Union[PackedWeight, PackedWeightI8],
-                      scales_u8: jax.Array):
-    """Decode a packed weight to bf16 with the SAME expressions as the
-    fused kernels (identical rounding), as plain jnp ops XLA fuses
-    into one pass over the codes. Returns ([Kq, N] bf16, w4_stacked):
-    for w4 the rows are [even ks; odd ks] (split-half order) — pair
-    with split_even_odd activations to avoid an interleave relayout."""
-    s = _decode_ue4m3_f32(scales_u8.astype(jnp.int32))
-    if isinstance(pw, PackedWeightI8):
-        kq, n = pw.codes.shape
-        w = (pw.codes.astype(jnp.float32).reshape(kq // 16, 16, n)
-             * (s * 0.5)[:, None, :]).reshape(kq, n)
-        return w.astype(jnp.bfloat16), False
-    c = pw.codes.astype(jnp.int32)                    # [Kq/2, N]
-    k2, n = c.shape
+def _dequant_w8_kernel(codes_ref, scales_ref, o_ref):
+    bk, bn = codes_ref.shape
+    w = codes_ref[:].astype(jnp.float32)
+    s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32)) * 0.5
+    o_ref[:] = (w.reshape(bk // 16, 16, bn)
+                * s[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+
+
+def _dequant_w4_kernel(codes_ref, scales_ref, o_ref):
+    c = codes_ref[:].astype(jnp.int32)
+    bk2, bn = c.shape
 
     def dec(nib):
         mag = nib & 0x7
@@ -276,19 +275,115 @@ def _dequant_bf16_jnp(pw: Union[PackedWeight, PackedWeightI8],
         f = jax.lax.bitcast_convert_type(bits, jnp.float32)
         return jnp.where(mag == 1, 0.0, f)
 
+    s = _decode_ue4m3_f32(scales_ref[:].astype(jnp.int32))
     se = s[:, None, :]
-    w_even = (dec(c & 0xF).reshape(k2 // 8, 8, n) * se).reshape(k2, n)
-    w_odd = (dec(c >> 4).reshape(k2 // 8, 8, n) * se).reshape(k2, n)
-    w = jnp.concatenate([w_even, w_odd], axis=0).astype(jnp.bfloat16)
-    return w, True
+    o_ref[0] = (dec(c & 0xF).reshape(bk2 // 8, 8, bn)
+                * se).reshape(bk2, bn).astype(jnp.bfloat16)
+    o_ref[1] = (dec(c >> 4).reshape(bk2 // 8, 8, bn)
+                * se).reshape(bk2, bn).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "interpret"))
+def _dequant_call(codes, scales_u8, *, fmt, interpret):
+    """One-pass packed->bf16 weight decode as a Pallas kernel: XLA's
+    own lowering of the decode expressions compiles to a windowed
+    fusion ~25x slower than HBM bandwidth (trace r3), so the matmul
+    prefill path materializes the weight through this kernel instead.
+    w4 output is [2, Kq/2, N] (axis 0 = even/odd ks — reshape(Kq, N)
+    IS the split-half stacked layout split_even_odd pairs with)."""
+    # block budget: the bf16 output (2x) and f32 decode transients
+    # (4x) ride alongside the i8 codes in VMEM, so cap the CODE block
+    # well under the GEMM kernel's 5 MB
+    deq_cap = 2 ** 20
+    if fmt == "w8":
+        kq, n = codes.shape
+        bk = _pick_block(kq, (512, 256, 128, 64, 16))
+        bn = _best_n_block(n, bk, deq_cap) or _pick_block(
+            n, (512, 256, 128))
+        return pl.pallas_call(
+            _dequant_w8_kernel,
+            grid=(kq // bk, n // bn),
+            in_specs=[
+                pl.BlockSpec((bk, bn), lambda k, j: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk // 16, bn), lambda k, j: (k, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bk, bn), lambda k, j: (k, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((kq, n), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(codes, scales_u8)
+    k2, n = codes.shape
+    bk2 = _pick_block(k2, (256, 128, 64, 32, 8))
+    bn = _best_n_block(n, 2 * bk2, deq_cap) or _pick_block(
+        n, (512, 256, 128))
+    return pl.pallas_call(
+        _dequant_w4_kernel,
+        grid=(k2 // bk2, n // bn),
+        in_specs=[
+            pl.BlockSpec((bk2, bn), lambda k, j: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk2 // 8, bn), lambda k, j: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, bk2, bn), lambda k, j: (0, k, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, k2, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(codes, scales_u8)
+
+
+def _copy_kernel(i_ref, o_ref):
+    o_ref[:] = i_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pin_rowmajor(x, *, interpret):
+    """Identity Pallas pass that PINS x to row-major layout. The XLA
+    lowering of the per-row activation quantize emits xa column-major
+    ({0,1}), which pushes the downstream matmul onto the slow
+    transposed-lhs emitter (AllInputFeatureInSublanes..., ~2x —
+    round-3 trace); a Pallas operand constraint makes layout
+    assignment produce {1,0} instead."""
+    m, k = x.shape
+    bm = max(8, min(512, (1 << 21) // k // 8 * 8))
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        _copy_kernel,
+        grid=(m_pad // bm,),
+        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x)
+    return out[:m] if m_pad != m else out
 
 
 def _gemm_xla(xa, pw, scales_u8, gs, gw, out_dtype):
-    """y = (xa @ dequant(pw)) * gs * gw + bias via XLA's native matmul
-    (MXU-bound shapes; VERDICT r2 #1 — reference analog: the prefill
-    path of modeling_arc.py:436 over nvfp4.cu:35)."""
-    w, stacked = _dequant_bf16_jnp(pw, scales_u8)
+    """y = (xa @ dequant(pw)) * gs * gw + bias via a one-pass Pallas
+    weight decode + XLA's native matmul (MXU-bound shapes; VERDICT r2
+    #1 — reference analog: the prefill path of modeling_arc.py:436
+    over nvfp4.cu:35). Numerics identical to the fused kernel (same
+    decode expressions, same bf16 weight grid, f32 accumulation)."""
+    stacked = not isinstance(pw, PackedWeightI8)
+    w = _dequant_call(pw.codes, scales_u8,
+                      fmt="w4" if stacked else "w8",
+                      interpret=_use_interpret())
+    if stacked:
+        w = w.reshape(pw.kq, pw.n)
     x = (split_even_odd(xa) if stacked else xa).astype(jnp.bfloat16)
+    x = _pin_rowmajor(x, interpret=_use_interpret())
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
     y = acc * gs * gw
     if pw.bias is not None:

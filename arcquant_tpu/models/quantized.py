@@ -271,9 +271,14 @@ def quant_mlp_block(cfg: ModelConfig, p: Params, x: jax.Array,
     dtype = x.dtype
     x2 = x.reshape(b * t, d)
     xa, gx = _act_quantize(x2, layer_calib["mlp_in"], qcfg)
-    gate = _q_linear(p["gate"], xa, gx, qcfg, jnp.float32)
-    up = _q_linear(p["up"], xa, gx, qcfg, jnp.float32)
-    inter = (jax.nn.silu(gate) * up).astype(dtype)
+    # bf16 GEMM outputs + f32 silu·up — the reference GEMM emits half
+    # and computes the activation in float (qLlamaLayer.py:422-443);
+    # keeps the engine's fused-gateup path bit-identical (same bf16
+    # rounding grid) while halving the widest intermediate
+    gate = _q_linear(p["gate"], xa, gx, qcfg, dtype)
+    up = _q_linear(p["up"], xa, gx, qcfg, dtype)
+    inter = (jax.nn.silu(gate.astype(jnp.float32))
+             * up.astype(jnp.float32)).astype(dtype)
     ia, gi = _act_quantize(inter, layer_calib["down_in"], qcfg)
     return _q_linear(p["down"], ia, gi, qcfg, dtype).reshape(b, t, d)
 

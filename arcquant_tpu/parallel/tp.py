@@ -395,10 +395,12 @@ def tp_quant_layer_forward(cfg: ModelConfig, p: Params, x, cos, sin,
     x2 = h.reshape(b * t, d)
     g_pw = _unstack(p["gate"])
     xa, gx = _quantize_x_global(x2, layer_calib["mlp_in"], g_pw.kq)
-    gate = gk.gemm_dequant(xa, g_pw, gx, out_dtype=jnp.float32)
-    up = gk.gemm_dequant(xa, _unstack(p["up"]), gx,
-                         out_dtype=jnp.float32)
-    inter = (jax.nn.silu(gate) * up).astype(dt)
+    # bf16 gate/up outputs (same rounding grid as the single-chip
+    # path — the tp_exact_arc bit-parity contract) + f32 silu·up
+    gate = gk.gemm_dequant(xa, g_pw, gx, out_dtype=dt)
+    up = gk.gemm_dequant(xa, _unstack(p["up"]), gx, out_dtype=dt)
+    inter = (jax.nn.silu(gate.astype(jnp.float32))
+             * up.astype(jnp.float32)).astype(dt)
 
     d_pw = _unstack(p["down"])
     ia, gi = quantize_x_row_site(inter, p, "down", row_sels, d_pw.kq)

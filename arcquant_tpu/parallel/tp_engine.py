@@ -272,9 +272,10 @@ class TPInferenceEngine(InferenceEngine):
         gu_pw = tpm._unstack(p["gateup"])
         xa, gx = tpm._quantize_x_global(x2, lc["mlp_in"], gu_pw.kq,
                                         per_row)
-        gu = gk.gemm_dequant(xa, gu_pw, gx, out_dtype=jnp.float32)
+        gu = gk.gemm_dequant(xa, gu_pw, gx, out_dtype=dt)
         i_l = gu.shape[1] // 2
-        inter = (jax.nn.silu(gu[:, :i_l]) * gu[:, i_l:]).astype(dt)
+        inter = (jax.nn.silu(gu[:, :i_l].astype(jnp.float32))
+                 * gu[:, i_l:].astype(jnp.float32)).astype(dt)
         d_pw = tpm._unstack(p["down"])
         ia, gi = tpm.quantize_x_row_site(inter, p, "down", sels,
                                          d_pw.kq, per_row)

@@ -196,6 +196,104 @@ def exp_shapes():
               f"({tb/t:.2f}x, {floor/t*100:.0f}% of floor)")
 
 
+# appended to gemm_lab.py
+
+def w8_dma_variant(x, codes, scales_u8, gs, gw, *, bm, bk, nbuf=3):
+    """Manual multi-buffered DMA GEMM: grid=(1,), a fori loop streams
+    [bk, N] code stripes HBM->VMEM with `nbuf` slots (the auto
+    pipeliner's per-grid-step cost was the ~20% gap to floor at
+    decode shapes — this is the paged_decode DMA-loop trick applied
+    to the weight stream)."""
+    m, n = x.shape[0], codes.shape[1]
+    kq = codes.shape[0]
+    nk = kq // bk
+
+    def kernel(gs_ref, gw_ref, x_ref, s_ref, codes_hbm, o_ref,
+               c_s, sems, acc_ref):
+        def dma(slot, i):
+            return pltpu.make_async_copy(
+                codes_hbm.at[pl.ds(i * bk, bk)], c_s.at[slot],
+                sems.at[slot])
+
+        for i in range(min(nbuf - 1, nk)):
+            dma(i, i).start()
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, nbuf)
+
+            @pl.when(i + nbuf - 1 < nk)
+            def _():
+                dma(jax.lax.rem(i + nbuf - 1, nbuf), i + nbuf - 1).start()
+
+            dma(slot, i).wait()
+            c = c_s[slot]                          # [bk, n] i8
+            s = gemm._decode_ue4m3_f32(
+                jax.lax.dynamic_slice_in_dim(
+                    s_ref[:], i * (bk // 16), bk // 16, 0)
+                .astype(jnp.int32)) * 0.5
+            w3 = (c.astype(jnp.float32).reshape(bk // 16, 16, n)
+                  * s[:, None, :]).reshape(bk, n).astype(jnp.bfloat16)
+            xx = x_ref[:, pl.ds(i * bk, bk)]
+            acc_ref[:] += jnp.dot(xx, w3,
+                                  preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nk, loop, 0)
+        o_ref[:] = (acc_ref[:] * gs_ref[:] * gw_ref[:]).astype(
+            jnp.bfloat16)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, bk, n), jnp.int8),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((bm, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(gs, gw, x, scales_u8, codes)
+
+
+def exp_dma(m, n, k):
+    x, w, pw, xa, gx = _mk_w8(jax.random.PRNGKey(0), m, n, k)
+    su8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+    bm = max(m, 16)
+    gs = jnp.full((bm, 1), float(gx), jnp.float32)
+    gw = jnp.broadcast_to(
+        pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
+    xp = jnp.pad(xa, ((0, bm - m), (0, 0))) if bm != m else xa
+    floor = (pw.codes.size + su8.size) / 819e9
+    print(f"floor: {floor*1e6:8.2f} us")
+    t0 = bench_op(lambda xx, c: gemm.gemm_dequant(xx, pw, gx), xp,
+                  pw.codes)
+    print(f"prod gemm_dequant: {t0*1e6:8.2f} us ({floor/t0*100:.0f}%)")
+    for bk in (512, 1024, 2048):
+        for nbuf in (2, 3, 4):
+            if (pw.kq % bk) or (nbuf * bk * n > 12 * 2**20):
+                continue
+            try:
+                t = bench_op(lambda xx, c, bk=bk, nbuf=nbuf:
+                             w8_dma_variant(xx, c, su8, gs, gw, bm=bm,
+                                            bk=bk, nbuf=nbuf),
+                             xp, pw.codes)
+                print(f"w8 dma bk={bk:5d} nbuf={nbuf}: {t*1e6:8.2f} us"
+                      f"  ({floor/t*100:.0f}% of floor)")
+            except Exception as e:
+                print(f"w8 dma bk={bk:5d} nbuf={nbuf}: FAIL "
+                      f"{type(e).__name__}: {e}"[:300])
+
+
 def w4_variant(x, codes, scales_u8, gs, gw, *, bm, bn, bk, mode):
     """w4 fused dequant GEMM with a selectable nibble-decode strategy.
 
@@ -362,7 +460,7 @@ def exp_w4(m, n, k):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="blocks",
-                    choices=["blocks", "scale", "w4", "shapes"])
+                    choices=["blocks", "scale", "w4", "shapes", "dma"])
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--k", type=int, default=4096)
@@ -378,6 +476,8 @@ def main():
         exp_w4(a.m, a.n, a.k)
     elif a.exp == "shapes":
         exp_shapes()
+    elif a.exp == "dma":
+        exp_dma(a.m, a.n, a.k)
 
 
 if __name__ == "__main__":

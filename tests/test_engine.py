@@ -68,6 +68,24 @@ def test_page_size_invariance(setup):
     assert a == b, (a, b)
 
 
+def test_generate_dynamic_pages(setup):
+    """generate() under dynamic_pages allocates each row's page span
+    up front (round-2 VERDICT weak #10) — tokens must match the
+    static layout, and an over-long request must raise cleanly."""
+    cfg, params, calib, qcfg, eng = setup
+    from arcquant_tpu.engine import InferenceEngine, EngineConfig
+    eng_d = InferenceEngine(cfg, params, calib, qcfg,
+                            EngineConfig(max_batch=2, max_seq_len=64,
+                                         page_size=16, num_pages=9,
+                                         dynamic_pages=True))
+    prompts = [[5, 17, 301, 42, 8], [100, 200, 7]]
+    a = eng.generate(prompts, max_new_tokens=6)
+    d = eng_d.generate(prompts, max_new_tokens=6)
+    assert a == d, (a, d)
+    with pytest.raises(ValueError, match="exceed"):
+        eng_d.generate(prompts, max_new_tokens=100)
+
+
 def test_decode_logits_match_dense_over_gathered_cache(setup):
     """One decode step's hidden computation must equal a dense
     recompute that attends over the DEQUANTIZED gathered cache —

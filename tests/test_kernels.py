@@ -133,3 +133,32 @@ class TestGemmDequant:
         host = packing.dequantize_weight(pw, 512, 64)
         np.testing.assert_allclose(np.asarray(full.T[:, :512 + 64]),
                                    np.asarray(host), rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("fmt", ["w4", "w8"])
+    @pytest.mark.parametrize("bias", [False, True])
+    def test_xla_dispatch_matches_fused(self, fmt, bias, monkeypatch):
+        """The large-M dispatch (_gemm_xla: Pallas one-pass weight
+        decode + native matmul) must agree with the fused kernel —
+        same decode expressions, same bf16 weight grid; only the f32
+        k-summation order may differ."""
+        m, n, k, ke = 96, 256, 512, 64
+        x = synthetic_outlier_x(jax.random.PRNGKey(21), m, k)
+        w = jax.random.normal(jax.random.PRNGKey(22), (n, k)) * 0.05
+        b = (jax.random.normal(jax.random.PRNGKey(23), (n,))
+             if bias else None)
+        ridx = jnp.argsort(jnp.max(jnp.abs(w), axis=0)).astype(jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, ke, bias=b, fmt=fmt)
+        xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
+
+        monkeypatch.setenv(gemm._XLA_M_ENV, "0")
+        y_fused = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        monkeypatch.setenv(gemm._XLA_M_ENV, "64")
+        y_xla = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+
+        np.testing.assert_allclose(np.asarray(y_xla),
+                                   np.asarray(y_fused),
+                                   rtol=1e-4, atol=1e-4)
+        golden = arc.arc_linear_fake(x, w, ridx, ke, bias=b)
+        np.testing.assert_allclose(np.asarray(y_xla),
+                                   np.asarray(golden),
+                                   rtol=2e-2, atol=2e-2)
