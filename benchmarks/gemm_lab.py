@@ -198,7 +198,8 @@ def exp_shapes():
 
 # appended to gemm_lab.py
 
-def w8_dma_variant(x, codes, scales_u8, gs, gw, *, bm, bk, nbuf=3):
+def w8_dma_variant(x, codes, scales_u8, gs, gw, *, bm, bk, nbuf=3,
+                   interpret=False):
     """Manual multi-buffered DMA GEMM: grid=(1,), a fori loop streams
     [bk, N] code stripes HBM->VMEM with `nbuf` slots (the auto
     pipeliner's per-grid-step cost was the ~20% gap to floor at
@@ -262,6 +263,7 @@ def w8_dma_variant(x, codes, scales_u8, gs, gw, *, bm, bk, nbuf=3):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        interpret=interpret,
     )(gs, gw, x, scales_u8, codes)
 
 

@@ -81,12 +81,13 @@ def exp_count(args):
                 "s8": 1, "u8": 1, "pred": 1}
     for op in ("all-reduce", "all-gather", "collective-permute",
                "reduce-scatter", "all-to-all"):
+        # HLO text: `%name = f32[2,32]{1,0} all-reduce(%operand), ...`
+        # (result shape AFTER the `=`; shape is the per-shard payload)
         pat = re.compile(
-            r"(\w+)\[([\d,]*)\][^\n=]*=\s*" + op + r"\(")
+            r"=\s*\(?(\w+)\[([\d,]*)\][^\n]*?\s" + op +
+            r"(?:-start)?\(")
         hits = pat.findall(hlo)
-        # count also fusion-wrapped starts
-        n_ops = len(re.findall(r"=\s*" + op + r"(?:-start)?\(", hlo))
-        counts[op] = n_ops
+        counts[op] = len(hits)
         total = 0
         for dt, dims in hits:
             elems = int(np.prod([int(d) for d in dims.split(",") if d]
@@ -157,7 +158,18 @@ def main():
     ap.add_argument("--layers", type=int, default=0)
     ap.add_argument("--tp", type=int, default=0)
     ap.add_argument("--dp", type=int, default=0)
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (the axon plugin "
+                    "ignores the JAX_PLATFORMS env var; 'cpu' + "
+                    "--xla_force_host_platform_device_count=8 gives "
+                    "the virtual mesh)")
     args = ap.parse_args()
+    if args.exp == "count" and not args.platform:
+        # HLO counting needs no real chip — default to the host
+        # platform so a wedged TPU tunnel can't hang the count
+        args.platform = "cpu"
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.exp == "count":
         exp_count(args)
     else:

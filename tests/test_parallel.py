@@ -497,3 +497,59 @@ def test_sp_paged_decode_parity():
     got = f(codes, params, pts, lens_sp, q)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_tp_decode_communication_contract():
+    """Pin the TP decode step's communication bill (round-2 VERDICT
+    weak #9 — measured, not asserted): exactly 2 psums per layer (the
+    o and down row-parallel combines) and 2 pmaxes per layer (the
+    row-site global activation scales), and NOTHING else crosses the
+    mesh — no all_gather/ppermute/all_to_all, zero collectives from
+    the lm head or sampling. Compiled-HLO counts + payload bytes:
+    benchmarks/tp_collectives.py (results in BASELINE.md)."""
+    from collections import Counter
+    from jax import shard_map
+    from arcquant_tpu.engine import EngineConfig
+    from arcquant_tpu.parallel.tp_engine import TPInferenceEngine
+
+    layers = 2
+    cfg = get_model_config("test-tiny").replace(num_layers=layers)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ecfg = EngineConfig(max_batch=4, max_seq_len=64, page_size=16)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    eng = TPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+    cache, pt, sl = eng.new_state()
+    toks = jnp.zeros((4,), jnp.int32)
+    act = jnp.ones((4,), bool)
+
+    def f(qparams, cache, pt, seq_lens, toks, active):
+        body = shard_map(eng._decode_local, mesh=mesh,
+                         in_specs=eng._in_specs(),
+                         out_specs=(eng._bspec, eng._cache_spec,
+                                    eng._bspec),
+                         check_vma=False)
+        return body(*eng._args(cache, pt, toks, seq_lens, active))
+
+    jaxpr = jax.make_jaxpr(f)(eng.qparams, cache, pt, sl, toks, act)
+
+    cnt = Counter()
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            cnt[eqn.primitive.name] += 1
+            for v in eqn.params.values():
+                for u in (v if isinstance(v, (tuple, list)) else (v,)):
+                    if isinstance(u, jax.extend.core.ClosedJaxpr):
+                        walk(u.jaxpr)
+                    elif hasattr(u, "eqns"):
+                        walk(u)
+
+    walk(jaxpr.jaxpr)
+    assert cnt["psum"] == 2 * layers, cnt
+    assert cnt["pmax"] == 2 * layers, cnt
+    for p in ("all_gather", "ppermute", "all_to_all", "pmin",
+              "reduce_scatter"):
+        assert cnt[p] == 0, (p, cnt)
