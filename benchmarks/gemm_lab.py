@@ -267,6 +267,84 @@ def w8_dma_variant(x, codes, scales_u8, gs, gw, *, bm, bk, nbuf=3,
     )(gs, gw, x, scales_u8, codes)
 
 
+def w8_dma_nblock(x, codes, scales_u8, gs, gw, *, bm, bk, bn, nbuf=3,
+                  interpret=False):
+    """N-blocked manual-DMA GEMM: grid=(N/bn,) parallel programs, each
+    streaming its [bk, bn] code stripes from HBM with `nbuf` slots.
+    Covers the shapes whose full-N stripe overflows VMEM (qkv N=4608,
+    gateup N=37888); the DMA source is a 2D strided slice (row
+    segments of bn bytes), which the DMA engine handles but may pay a
+    descriptor cost vs the contiguous full-N variant — measure both."""
+    m, n = x.shape[0], codes.shape[1]
+    kq = codes.shape[0]
+    nk = kq // bk
+
+    def kernel(gs_ref, x_ref, gw_ref, s_ref, codes_hbm, o_ref,
+               c_s, sems, acc_ref):
+        j = pl.program_id(0)
+
+        def dma(slot, i):
+            return pltpu.make_async_copy(
+                codes_hbm.at[pl.ds(i * bk, bk), pl.ds(j * bn, bn)],
+                c_s.at[slot], sems.at[slot])
+
+        for i in range(min(nbuf - 1, nk)):
+            dma(i, i).start()
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, nbuf)
+
+            @pl.when(i + nbuf - 1 < nk)
+            def _():
+                dma(jax.lax.rem(i + nbuf - 1, nbuf),
+                    i + nbuf - 1).start()
+
+            dma(slot, i).wait()
+            c = c_s[slot]                          # [bk, bn] i8
+            s = gemm._decode_ue4m3_f32(
+                jax.lax.dynamic_slice_in_dim(
+                    s_ref[:], i * (bk // 16), bk // 16, 0)
+                .astype(jnp.int32)) * 0.5
+            w3 = (c.astype(jnp.float32).reshape(bk // 16, 16, bn)
+                  * s[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+            xx = x_ref[:, pl.ds(i * bk, bk)]
+            acc_ref[:] += jnp.dot(xx, w3,
+                                  preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nk, loop, 0)
+        o_ref[:] = (acc_ref[:] * gs_ref[:] * gw_ref[:]).astype(
+            jnp.bfloat16)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, kq), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kq // 16, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, bk, bn), jnp.int8),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(gs, x, gw, scales_u8, codes)
+
+
 def exp_dma(m, n, k):
     x, w, pw, xa, gx = _mk_w8(jax.random.PRNGKey(0), m, n, k)
     su8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
@@ -294,6 +372,24 @@ def exp_dma(m, n, k):
             except Exception as e:
                 print(f"w8 dma bk={bk:5d} nbuf={nbuf}: FAIL "
                       f"{type(e).__name__}: {e}"[:300])
+    for bn in (1024, 2048, 4096):
+        for bk in (1024, 2048):
+            for nbuf in (2, 3):
+                if (pw.kq % bk) or (n % bn) or (
+                        nbuf * bk * bn > 12 * 2**20):
+                    continue
+                try:
+                    t = bench_op(
+                        lambda xx, c, bk=bk, bn=bn, nbuf=nbuf:
+                        w8_dma_nblock(xx, c, su8, gs, gw, bm=bm,
+                                      bk=bk, bn=bn, nbuf=nbuf),
+                        xp, pw.codes)
+                    print(f"w8 dmaN bn={bn:5d} bk={bk:5d} nbuf={nbuf}:"
+                          f" {t*1e6:8.2f} us"
+                          f"  ({floor/t*100:.0f}% of floor)")
+                except Exception as e:
+                    print(f"w8 dmaN bn={bn:5d} bk={bk:5d} nbuf={nbuf}:"
+                          f" FAIL {type(e).__name__}: {e}"[:300])
 
 
 def w4_variant(x, codes, scales_u8, gs, gw, *, bm, bn, bk, mode):
