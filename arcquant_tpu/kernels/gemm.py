@@ -194,6 +194,168 @@ def _gemm_w8_kernel(gs_ref, gw_ref, x_ref, codes_ref, scales_ref,
 
 
 # ---------------------------------------------------------------------------
+# Decode-shape manual-DMA w8 kernel (streams codes HBM->VMEM itself)
+# ---------------------------------------------------------------------------
+
+# At decode shapes the auto-pipelined kernel pays a per-grid-step fixed
+# cost (~6 us over the weight-stream floor at M=32 N=K=4096 — see
+# BASELINE.md reconciliation). This variant keeps codes in HBM and
+# streams [bk, bn] stripes through an explicit multi-buffered DMA loop
+# (the paged_decode.py trick applied to the weight stream), collapsing
+# the grid to (N/bn,) programs with one fori_loop over k. Numerics are
+# identical to _gemm_w8_kernel (same decode + mul3d scale expressions).
+# Enabled for M <= ARC_GEMM_DMA_M (0 disables; default off until the
+# on-chip A/B in benchmarks/gemm_lab.py --exp dma lands).
+_DMA_M_ENV = "ARC_GEMM_DMA_M"
+_DMA_M_DEFAULT = 0
+_DMA_NBUF = 3
+
+
+def _dma_dispatch_m() -> int:
+    return int(os.environ.get(_DMA_M_ENV, str(_DMA_M_DEFAULT)))
+
+
+def _gemm_w8_dma_kernel(gs_ref, gw_ref, x_ref, s_ref, bias_ref,
+                        codes_hbm, o_ref, c_s, sems, acc_ref, *,
+                        bk: int, nbuf: int, n_k: int, out_dtype,
+                        has_bias: bool):
+    j = pl.program_id(0)
+    bn = o_ref.shape[1]
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(
+            codes_hbm.at[pl.ds(i * bk, bk), pl.ds(j * bn, bn)],
+            c_s.at[slot], sems.at[slot])
+
+    for i in range(min(nbuf - 1, n_k)):
+        dma(i, i).start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def loop(i, _):
+        slot = jax.lax.rem(i, nbuf)
+
+        @pl.when(i + nbuf - 1 < n_k)
+        def _():
+            dma(jax.lax.rem(i + nbuf - 1, nbuf), i + nbuf - 1).start()
+
+        dma(slot, i).wait()
+        w = c_s[slot].astype(jnp.float32)              # [bk, bn]
+        s = _decode_ue4m3_f32(
+            jax.lax.dynamic_slice_in_dim(
+                s_ref[:], i * (bk // 16), bk // 16, 0)
+            .astype(jnp.int32)) * 0.5
+        w = (w.reshape(bk // 16, 16, bn) * s[:, None, :]).reshape(
+            bk, bn).astype(jnp.bfloat16)
+        xx = x_ref[:, pl.ds(i * bk, bk)]
+        acc_ref[:] += jnp.dot(xx, w, preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_k, loop, 0)
+    y = acc_ref[:] * gs_ref[:] * gw_ref[:]
+    if has_bias:
+        y = y + bias_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(out_dtype)
+
+
+def _dma_blocks_w8(kq: int, n: int, nbuf: int):
+    """(bk, bn) for the manual-DMA kernel: bk the largest divisor of kq
+    <= 2048 that is a multiple of 512 (falls back to best_k_block), bn
+    the largest 128-multiple divisor of n keeping nbuf slots + the bf16
+    decode transient within ~8 MB of VMEM."""
+    bk = 0
+    for c in (2048, 1536, 1024, 512):
+        if kq % c == 0:
+            bk = c
+            break
+    if bk == 0:
+        from ..quant.packing import best_k_block
+        bk = best_k_block(kq) or _pick_block(kq, (256, 128, 64))
+    cap = 8 * 2 ** 20 // (nbuf + 2)  # i8 slots + bf16 decode transient
+    bn = 0
+    d = 128
+    while d <= n:
+        if n % d == 0 and d * bk <= cap:
+            bn = d
+        d += 128
+    if bn == 0:
+        bn = _pick_block(n, (512, 256, 128))
+    return bk, bn
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_dtype", "bm", "bn", "bk", "has_bias", "interpret"))
+def _gemm_dma_call(x, codes, scales_u8, gs, gw, bias, *, out_dtype,
+                   bm, bn, bk, has_bias, interpret):
+    kq, n = codes.shape
+    n_k = kq // bk
+    kernel = functools.partial(
+        _gemm_w8_dma_kernel, bk=bk, nbuf=_DMA_NBUF, n_k=n_k,
+        out_dtype=out_dtype, has_bias=has_bias)
+    bias2 = (bias.reshape(1, n).astype(jnp.float32) if has_bias
+             else jnp.zeros((1, 1), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, kq), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kq // 16, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bn) if has_bias else (1, 1),
+                (lambda j: (0, j)) if has_bias else (lambda j: (0, 0)),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_DMA_NBUF, bk, bn), jnp.int8),
+            pltpu.SemaphoreType.DMA((_DMA_NBUF,)),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * n * kq,
+            bytes_accessed=codes.size + scales_u8.size + x.size * 2
+            + bm * n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(gs, gw, x, scales_u8, bias2, codes)
+
+
+def _gemm_dma(xa, pw, scales_u8, gx, out_dtype):
+    """Decode-shape w8 GEMM through the manual-DMA kernel (same
+    contract as gemm_dequant's fused path)."""
+    m = xa.shape[0]
+    kq, n = pw.kq, pw.n
+    bm = max(16, _round_up(m, 16))
+    bk, bn = _dma_blocks_w8(kq, n, _DMA_NBUF)
+    x = xa.astype(jnp.bfloat16)
+    if bm != m:
+        x = jnp.pad(x, ((0, bm - m), (0, 0)))
+    gx = jnp.asarray(gx, jnp.float32)
+    gs = jnp.broadcast_to(gx.reshape(-1, 1), (m, 1)).astype(jnp.float32)
+    if bm != m:
+        gs = jnp.pad(gs, ((0, bm - m), (0, 0)))
+    gw = jnp.broadcast_to(
+        pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
+    y = _gemm_dma_call(x, pw.codes, scales_u8, gs, gw,
+                       pw.bias if pw.bias is not None else None,
+                       out_dtype=jnp.dtype(out_dtype).name,
+                       bm=bm, bn=bn, bk=bk,
+                       has_bias=pw.bias is not None,
+                       interpret=_use_interpret())
+    return y[:m] if bm != m else y
+
+
+# ---------------------------------------------------------------------------
 # Host-side call
 # ---------------------------------------------------------------------------
 
@@ -496,6 +658,12 @@ def gemm_dequant(xa: jax.Array,
         gw = jnp.broadcast_to(
             pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
         return _gemm_xla(xa, pw, scales_u8, gs, gw, out_dtype)
+    dm = _dma_dispatch_m()
+    if (fmt == "w8" and dm and m <= dm
+            and bm == 0 and bn == 0 and bk == 0):
+        scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
+                     jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
+        return _gemm_dma(xa, pw, scales_u8, gx, out_dtype)
     if fmt == "w4":
         xa = split_even_odd(xa)
     x = xa.astype(jnp.bfloat16)

@@ -372,7 +372,11 @@ def exp_dma(m, n, k):
             except Exception as e:
                 print(f"w8 dma bk={bk:5d} nbuf={nbuf}: FAIL "
                       f"{type(e).__name__}: {e}"[:300])
-    for bn in (1024, 2048, 4096):
+    # bn must divide N: qwen shapes need 512 (down N=3584=7*512) and
+    # 1536 (qkv N=4608=3*1536) alongside the powers of two.
+    for bn in (512, 1024, 1536, 2048, 4096):
+        if n % bn:
+            continue
         for bk in (1024, 2048):
             for nbuf in (2, 3):
                 if (pw.kq % bk) or (n % bn) or (

@@ -162,3 +162,27 @@ class TestGemmDequant:
         np.testing.assert_allclose(np.asarray(y_xla),
                                    np.asarray(golden),
                                    rtol=2e-2, atol=2e-2)
+
+    @pytest.mark.parametrize("bias", [False, True])
+    def test_dma_stream_matches_fused(self, bias, monkeypatch):
+        """The decode-shape manual-DMA kernel (_gemm_dma: codes stay in
+        HBM, explicit multi-buffered stripe DMAs) must be BIT-exact vs
+        the auto-pipelined fused kernel — identical decode and scale
+        expressions, identical f32 k-block accumulation order."""
+        m, n, k, ke = 4, 256, 512, 64
+        x = synthetic_outlier_x(jax.random.PRNGKey(31), m, k)
+        w = jax.random.normal(jax.random.PRNGKey(32), (n, k)) * 0.05
+        b = (jax.random.normal(jax.random.PRNGKey(33), (n,))
+             if bias else None)
+        ridx = jnp.argsort(jnp.max(jnp.abs(w), axis=0)).astype(jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, ke, bias=b, fmt="w8")
+        xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
+
+        monkeypatch.setenv(gemm._DMA_M_ENV, "0")
+        y_fused = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        monkeypatch.setenv(gemm._DMA_M_ENV, "64")
+        y_dma = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        monkeypatch.setenv(gemm._DMA_M_ENV, "0")
+
+        # same bk (=512 at this kq) => identical accumulation order
+        assert bool(jnp.all(y_dma == y_fused))
