@@ -196,6 +196,36 @@ def exp_shapes():
               f"({tb/t:.2f}x, {floor/t*100:.0f}% of floor)")
 
 
+def exp_dmaprod():
+    """Production fused kernel vs the flag-gated manual-DMA path
+    (gemm._gemm_dma) at the qwen2.5-7b decode GEMM shapes, M=4, one
+    process — the promotion decision for ARC_GEMM_DMA_M."""
+    shapes = {
+        "qkv": (4608, 3584), "o": (3584, 3584),
+        "gateup": (37888, 3584), "down": (3584, 18944),
+    }
+    tot_f = tot_d = 0.0
+    for name, (n, k) in shapes.items():
+        x, w, pw, xa, gx = _mk_w8(jax.random.PRNGKey(0), 4, n, k)
+        su8 = jax.lax.bitcast_convert_type(pw.scales, jnp.uint8)
+        floor = (pw.codes.size + su8.size) / 819e9
+        tf = bench_op(lambda xx, pw: gemm.gemm_dequant(xx, pw, gx),
+                      xa, pw)
+        td = bench_op(lambda xx, pw: gemm._gemm_dma(
+            xx, pw, su8, gx, jnp.bfloat16), xa, pw)
+        y0 = gemm.gemm_dequant(xa, pw, gx)
+        y1 = gemm._gemm_dma(xa, pw, su8, gx, jnp.bfloat16)
+        ok = bool(jnp.all(y0 == y1))
+        bk, bn = gemm._dma_blocks_w8(pw.kq, n, gemm._DMA_NBUF)
+        tot_f += tf
+        tot_d += td
+        print(f"{name:7s} N={n:6d} K={k:6d}: fused {tf*1e6:8.2f} us "
+              f"({floor/tf*100:.0f}%), dma {td*1e6:8.2f} us "
+              f"({floor/td*100:.0f}%) bk={bk} bn={bn} exact={ok}")
+    print(f"TOTAL: fused {tot_f*1e6:8.2f} us, dma {tot_d*1e6:8.2f} us "
+          f"({tot_f/tot_d:.3f}x)")
+
+
 # appended to gemm_lab.py
 
 def w8_dma_variant(x, codes, scales_u8, gs, gw, *, bm, bk, nbuf=3,
@@ -562,7 +592,8 @@ def exp_w4(m, n, k):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="blocks",
-                    choices=["blocks", "scale", "w4", "shapes", "dma"])
+                    choices=["blocks", "scale", "w4", "shapes", "dma",
+                             "dmaprod"])
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--k", type=int, default=4096)
@@ -580,6 +611,8 @@ def main():
         exp_shapes()
     elif a.exp == "dma":
         exp_dma(a.m, a.n, a.k)
+    elif a.exp == "dmaprod":
+        exp_dmaprod()
 
 
 if __name__ == "__main__":

@@ -164,7 +164,8 @@ class TestGemmDequant:
                                    rtol=2e-2, atol=2e-2)
 
     @pytest.mark.parametrize("bias", [False, True])
-    def test_dma_stream_matches_fused(self, bias, monkeypatch):
+    @pytest.mark.parametrize("per_row", [False, True])
+    def test_dma_stream_matches_fused(self, bias, per_row, monkeypatch):
         """The decode-shape manual-DMA kernel (_gemm_dma: codes stay in
         HBM, explicit multi-buffered stripe DMAs) must be BIT-exact vs
         the auto-pipelined fused kernel — identical decode and scale
@@ -176,7 +177,8 @@ class TestGemmDequant:
              if bias else None)
         ridx = jnp.argsort(jnp.max(jnp.abs(w), axis=0)).astype(jnp.int32)
         pw = packing.pack_weight_arc(w, ridx, ke, bias=b, fmt="w8")
-        xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
+        xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq,
+                                   per_row=per_row)
 
         monkeypatch.setenv(gemm._DMA_M_ENV, "0")
         y_fused = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
