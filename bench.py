@@ -80,8 +80,29 @@ def main():
     xa = xa.astype(jnp.bfloat16)
     wT = w.T.copy()
 
-    t_quant = bench_op(
+    # Two production decode paths, bit-exact (tests/test_kernels.py
+    # test_dma_stream_matches_fused), selected by ARC_GEMM_DMA_M: the
+    # auto-pipelined fused kernel and the manual-DMA-streamed kernel.
+    # Measure both in ONE process (cross-process chip-state variance
+    # is 10-20%) and report the faster.
+    import os
+    import sys
+    os.environ[gemm._DMA_M_ENV] = "0"
+    t_fused = bench_op(
         lambda xx: gemm.gemm_dequant(xx, pw, gx), xa, n1=n1, n2=n2)
+    try:
+        os.environ[gemm._DMA_M_ENV] = "64"
+        t_dma = bench_op(
+            lambda xx: gemm.gemm_dequant(xx, pw, gx), xa, n1=n1, n2=n2)
+    except Exception as e:                      # noqa: BLE001
+        print(f"dma path failed: {type(e).__name__}: {e}"[:200],
+              file=sys.stderr)
+        t_dma = float("inf")
+    finally:
+        os.environ[gemm._DMA_M_ENV] = "0"
+    print(f"fused {t_fused*1e6:.2f} us, dma {t_dma*1e6:.2f} us",
+          file=sys.stderr)
+    t_quant = min(t_fused, t_dma)
     t_base = bench_op(
         lambda xx: jnp.dot(xx, wT, preferred_element_type=jnp.float32)
         .astype(jnp.bfloat16), x, n1=n1, n2=n2)
