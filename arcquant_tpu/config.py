@@ -100,6 +100,15 @@ class ModelConfig:
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_pos: int = 8192
+    # Mixture-of-experts (0 experts = dense FFN). Covers the
+    # Mixtral-style pure-MoE FFN and the Qwen-MoE variant (shared
+    # expert + sigmoid shared gate); all deltas are config-driven,
+    # like the Llama/Qwen2 split above.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 0
+    shared_expert_size: int = 0     # Qwen-MoE shared expert width
+    norm_topk_prob: bool = False    # renormalize top-k router weights
 
     def __post_init__(self):
         if self.head_dim == 0:
@@ -148,6 +157,22 @@ MODEL_CONFIGS = {
         max_position_embeddings=131072, rope_scaling_factor=8.0),
     # --- scale-out target (BASELINE.md) ---
     "qwen2.5-72b": _qwen2("qwen2.5-72b", 8192, 29568, 80, 64, 8),
+    # --- MoE families (beyond the reference, which is dense-only;
+    # expert weights dominate memory -> the natural W4 + ep target) ---
+    "mixtral-8x7b": ModelConfig(
+        name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32,
+        num_kv_heads=8, rope_theta=1000000.0, rms_eps=1e-5,
+        max_position_embeddings=32768, num_experts=8,
+        num_experts_per_tok=2, moe_intermediate_size=14336,
+        norm_topk_prob=True),
+    "qwen1.5-moe-a2.7b": ModelConfig(
+        name="qwen1.5-moe-a2.7b", vocab_size=151936, hidden_size=2048,
+        intermediate_size=5632, num_layers=24, num_heads=16,
+        num_kv_heads=16, rope_theta=1000000.0, rms_eps=1e-6,
+        qkv_bias=True, max_position_embeddings=8192, num_experts=60,
+        num_experts_per_tok=4, moe_intermediate_size=1408,
+        shared_expert_size=5632, norm_topk_prob=False),
     # --- small configs for tests/CI (random weights) ---
     "tinyllama-1.1b": ModelConfig(
         name="tinyllama-1.1b", vocab_size=32000, hidden_size=2048,
@@ -161,6 +186,13 @@ MODEL_CONFIGS = {
         max_position_embeddings=512),
     "test-qwen-tiny": _qwen2("test-qwen-tiny", 256, 512, 2, 4, 2,
                              vocab=512, max_pos=512),
+    "test-tiny-moe": ModelConfig(
+        name="test-tiny-moe", vocab_size=512, hidden_size=128,
+        intermediate_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, rope_theta=10000.0, rms_eps=1e-5,
+        max_position_embeddings=512, num_experts=4,
+        num_experts_per_tok=2, moe_intermediate_size=128,
+        shared_expert_size=128, norm_topk_prob=True),
 }
 
 

@@ -38,22 +38,27 @@ def _init_linear(key, n_out, n_in, bias, dtype):
 
 
 def init_layer_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 8)
     qb = cfg.qkv_bias
-    return {
+    p = {
         "attn_norm": jnp.ones((cfg.hidden_size,), dtype),
         "mlp_norm": jnp.ones((cfg.hidden_size,), dtype),
         "q": _init_linear(ks[0], cfg.q_size, cfg.hidden_size, qb, dtype),
         "k": _init_linear(ks[1], cfg.kv_size, cfg.hidden_size, qb, dtype),
         "v": _init_linear(ks[2], cfg.kv_size, cfg.hidden_size, qb, dtype),
         "o": _init_linear(ks[3], cfg.hidden_size, cfg.q_size, False, dtype),
-        "gate": _init_linear(ks[4], cfg.intermediate_size, cfg.hidden_size,
-                             False, dtype),
-        "up": _init_linear(ks[5], cfg.intermediate_size, cfg.hidden_size,
-                           False, dtype),
-        "down": _init_linear(ks[6], cfg.hidden_size, cfg.intermediate_size,
-                             False, dtype),
     }
+    if cfg.num_experts:
+        from . import moe
+        p["moe"] = moe.init_moe_params(cfg, ks[7], dtype)
+        return p
+    p["gate"] = _init_linear(ks[4], cfg.intermediate_size,
+                             cfg.hidden_size, False, dtype)
+    p["up"] = _init_linear(ks[5], cfg.intermediate_size,
+                           cfg.hidden_size, False, dtype)
+    p["down"] = _init_linear(ks[6], cfg.hidden_size,
+                             cfg.intermediate_size, False, dtype)
+    return p
 
 
 def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
@@ -233,7 +238,11 @@ def layer_forward(cfg: ModelConfig, p: Params, x: jax.Array,
                                       cache_len)
     x = x + attn
     h = rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    x = x + mlp_block(cfg, p, h)
+    if "moe" in p:
+        from . import moe
+        x = x + moe.moe_block(cfg, p["moe"], h)
+    else:
+        x = x + mlp_block(cfg, p, h)
     return x, new_cache
 
 

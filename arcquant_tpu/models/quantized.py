@@ -60,8 +60,15 @@ def identity_calib(cfg: ModelConfig, select_frac: float = 0.0
         "attn_in": site(cfg.hidden_size),
         "o_in": site(cfg.q_size),
         "mlp_in": site(cfg.hidden_size),
-        "down_in": site(cfg.intermediate_size),
+        # MoE: the experts' down projection reads the (narrower)
+        # per-expert intermediate; the site calib is shared across
+        # experts (one reorder index per layer, like the reference's
+        # one-buffer-per-site registration, model_utils.py:39-42)
+        "down_in": site(cfg.moe_intermediate_size if cfg.num_experts
+                        else cfg.intermediate_size),
     }
+    if cfg.num_experts and cfg.shared_expert_size:
+        per_layer["sdown_in"] = site(cfg.shared_expert_size)
     return [dict(per_layer) for _ in range(cfg.num_layers)]
 
 
@@ -94,7 +101,14 @@ def quantize_layer_params(layer_p: Params, layer_calib: Dict[str, SiteCalib],
     """Quantize one decoder layer's linears (analog of the reference's
     one-layer-at-a-time swap, model_utils.py:24-46)."""
     out = {"attn_norm": layer_p["attn_norm"], "mlp_norm": layer_p["mlp_norm"]}
-    for proj in ("q", "k", "v", "o", "gate", "up", "down"):
+    if "moe" in layer_p:
+        from . import moe
+        out["moe"] = moe.quantize_moe_params(layer_p["moe"],
+                                             layer_calib, qcfg)
+        projs = ("q", "k", "v", "o")
+    else:
+        projs = ("q", "k", "v", "o", "gate", "up", "down")
+    for proj in projs:
         calib = layer_calib[_SITE_OF_PROJ[proj]]
         if qcfg.quant_type == "BF16":
             out[proj] = layer_p[proj]
@@ -293,7 +307,11 @@ def quant_layer_forward(cfg: ModelConfig, p: Params, x: jax.Array,
         cfg, p, h, cos, sin, layer_calib, qcfg, kv_cache, cache_len)
     x = x + attn
     h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-    x = x + quant_mlp_block(cfg, p, h, layer_calib, qcfg)
+    if "moe" in p:
+        from . import moe
+        x = x + moe.moe_block(cfg, p["moe"], h, layer_calib, qcfg)
+    else:
+        x = x + quant_mlp_block(cfg, p, h, layer_calib, qcfg)
     return x, new_cache
 
 

@@ -1,0 +1,210 @@
+"""MoE (Mixtral / Qwen-MoE) tests: routing invariants, dense-vs-
+dispatch parity, quantized parity, and full-model decode consistency.
+
+The reference (pdh930105/ARCQuant) is dense-only; MoE extends its W4
+capacity story. Oracle pattern mirrors tests/test_model.py: batched
+einsum formulations are checked against a per-token/per-expert loop.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arcquant_tpu.config import get_model_config, QuantConfig
+from arcquant_tpu.models import llama, moe, quantized
+
+
+@pytest.fixture(scope="module")
+def tiny_moe():
+    cfg = get_model_config("test-tiny-moe")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                cfg.vocab_size)
+    return cfg, params, tokens
+
+
+def test_route_topk_invariants(tiny_moe):
+    cfg, params, _ = tiny_moe
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (32, cfg.hidden_size),
+                           jnp.float32)
+    cw = moe.route(cfg, params["layers"][0]["moe"]["router"]["w"], x2)
+    assert cw.shape == (32, cfg.num_experts)
+    nnz = jnp.sum(cw > 0, axis=-1)
+    assert bool(jnp.all(nnz <= cfg.num_experts_per_tok))
+    assert bool(jnp.all(nnz >= 1))
+    if cfg.norm_topk_prob:
+        np.testing.assert_allclose(np.asarray(jnp.sum(cw, -1)), 1.0,
+                                   atol=1e-5)
+
+
+def test_moe_forward_shape(tiny_moe):
+    cfg, params, tokens = tiny_moe
+    logits = llama.model_forward(cfg, params, tokens)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def _loop_oracle(cfg, p, x2, cw):
+    """Per-token, per-expert reference for the routed FFN (bf16)."""
+    out = np.zeros((x2.shape[0], cfg.hidden_size), np.float32)
+    xb = np.asarray(x2, np.float32)
+    cw = np.asarray(cw)
+    for t in range(x2.shape[0]):
+        for e in range(cfg.num_experts):
+            if cw[t, e] <= 0:
+                continue
+            g = np.asarray(p["gate"]["w"][e], np.float32) @ xb[t]
+            u = np.asarray(p["up"]["w"][e], np.float32) @ xb[t]
+            inter = (g / (1 + np.exp(-g))) * u
+            y = np.asarray(p["down"]["w"][e], np.float32) @ inter
+            out[t] += cw[t, e] * y
+    return out
+
+
+def test_dense_mode_matches_loop_oracle(tiny_moe):
+    cfg, params, _ = tiny_moe
+    p = params["layers"][0]["moe"]
+    x2 = jax.random.normal(jax.random.PRNGKey(4), (8, cfg.hidden_size),
+                           jnp.float32) * 0.5
+    cw = moe.route(cfg, p["router"]["w"], x2)
+    y = moe._ffn_dense(p, x2.astype(jnp.bfloat16), jnp.float32(1.0), cw)
+    ref = _loop_oracle(cfg, p, x2, cw)
+    np.testing.assert_allclose(np.asarray(y, np.float32), ref,
+                               atol=0.15, rtol=0.1)
+
+
+def test_dispatch_matches_dense_at_full_capacity(tiny_moe):
+    """capacity = T*k makes dispatch exact -> must equal dense mode."""
+    cfg, params, _ = tiny_moe
+    p = params["layers"][0]["moe"]
+    t = 16
+    x2 = jax.random.normal(jax.random.PRNGKey(5), (t, cfg.hidden_size),
+                           jnp.float32) * 0.5
+    cw = moe.route(cfg, p["router"]["w"], x2)
+    xa = x2.astype(jnp.bfloat16)
+    yd = moe._ffn_dense(p, xa, jnp.float32(1.0), cw)
+    yp = moe._ffn_dispatch(p, xa, jnp.float32(1.0), cw, capacity=t,
+                           k=cfg.num_experts_per_tok)
+    np.testing.assert_allclose(np.asarray(yd, np.float32),
+                               np.asarray(yp, np.float32),
+                               atol=0.1, rtol=0.1)
+
+
+def test_dispatch_capacity_drop_is_partial_sum(tiny_moe):
+    """With capacity=1, kept tokens' contributions are a subset; output
+    stays finite and differs from the exact result."""
+    cfg, params, _ = tiny_moe
+    p = params["layers"][0]["moe"]
+    t = 16
+    x2 = jax.random.normal(jax.random.PRNGKey(6), (t, cfg.hidden_size),
+                           jnp.float32)
+    cw = moe.route(cfg, p["router"]["w"], x2)
+    xa = x2.astype(jnp.bfloat16)
+    y1 = moe._ffn_dispatch(p, xa, jnp.float32(1.0), cw, capacity=1,
+                           k=cfg.num_experts_per_tok)
+    assert bool(jnp.all(jnp.isfinite(y1)))
+    yfull = moe._ffn_dispatch(p, xa, jnp.float32(1.0), cw, capacity=t,
+                              k=cfg.num_experts_per_tok)
+    assert float(jnp.max(jnp.abs(y1 - yfull))) > 1e-4
+
+
+def test_moe_block_mode_crossover_consistent(tiny_moe):
+    """The same tokens through dense mode (T<=threshold) and dispatch
+    mode (forced via capacity+monkeypatched threshold) agree."""
+    cfg, params, _ = tiny_moe
+    p = params["layers"][0]["moe"]
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, cfg.hidden_size),
+                          jnp.bfloat16)
+    y_dense = moe.moe_block(cfg, p, x)
+    old = moe.DENSE_MODE_MAX_T
+    try:
+        moe.DENSE_MODE_MAX_T = 0
+        y_disp = moe.moe_block(cfg, p, x, capacity=16)
+    finally:
+        moe.DENSE_MODE_MAX_T = old
+    np.testing.assert_allclose(np.asarray(y_dense, np.float32),
+                               np.asarray(y_disp, np.float32),
+                               atol=0.1, rtol=0.1)
+
+
+@pytest.mark.parametrize("act_scale", ["tensor", "row"])
+def test_quantized_moe_dense_vs_dispatch(tiny_moe, act_scale):
+    """Quantized expert math must agree across modes too (per-row act
+    scales ride the dispatch matrix)."""
+    cfg, params, _ = tiny_moe
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False, w_scale="channel",
+                       act_scale=act_scale)
+    calib = quantized.identity_calib(cfg, select_frac=0.1)
+    qp = quantized.quantize_layer_params(params["layers"][0], calib[0],
+                                         qcfg)["moe"]
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 16, cfg.hidden_size),
+                          jnp.bfloat16)
+    y_dense = moe.moe_block(cfg, qp, x, calib[0], qcfg)
+    old = moe.DENSE_MODE_MAX_T
+    try:
+        moe.DENSE_MODE_MAX_T = 0
+        y_disp = moe.moe_block(cfg, qp, x, calib[0], qcfg, capacity=16)
+    finally:
+        moe.DENSE_MODE_MAX_T = old
+    np.testing.assert_allclose(np.asarray(y_dense, np.float32),
+                               np.asarray(y_disp, np.float32),
+                               atol=0.15, rtol=0.15)
+
+
+def test_quantized_moe_model_close_to_bf16(tiny_moe):
+    cfg, params, tokens = tiny_moe
+    ref = llama.model_forward(cfg, params, tokens)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False, w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.1)
+    qparams = quantized.quantize_model_params(cfg, params, calib, qcfg)
+    out = quantized.quant_model_forward(cfg, qparams, calib, qcfg, tokens)
+    assert out.shape == ref.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    a = np.asarray(ref, np.float32).reshape(-1)
+    b = np.asarray(out, np.float32).reshape(-1)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    # Random-weight NVFP4 e2e on the DENSE test-tiny config measures
+    # cos 0.913; MoE block-level quant error equals the dense MLP's
+    # (cos 0.973 both, measured), routing flips add the rest.
+    assert cos > 0.85, f"quantized MoE logits diverged: cos={cos}"
+
+
+def test_moe_kv_decode_matches_full(tiny_moe):
+    """Prefill+decode through the cache equals the one-shot forward.
+
+    NOTE: at decode the MoE block sees single tokens, so routing is
+    per-token independent — this asserts the dense MoE mode used at
+    T=1 agrees with the T=16 path inside a full transformer."""
+    cfg, params, tokens = tiny_moe
+    b, t = tokens.shape
+    full = llama.model_forward(cfg, params, tokens)
+    caches = [(jnp.zeros((b, t, cfg.num_kv_heads, cfg.head_dim),
+                         jnp.float32),) * 2
+              for _ in range(cfg.num_layers)]
+
+    def run(toks, caches, start):
+        pos = jnp.arange(toks.shape[1])[None, :] + start
+        pos = jnp.broadcast_to(pos, toks.shape)
+        x = params["embed"][toks]
+        cos, sin = llama.rope_cos_sin(cfg, pos)
+        new_caches = []
+        for p, c in zip(params["layers"], caches):
+            x, nc = llama.layer_forward(cfg, p, x, cos, sin, c, start)
+            new_caches.append(nc)
+        x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+        head = params.get("lm_head", params["embed"])
+        return jnp.dot(x, head.T), new_caches
+
+    split = t - 4
+    out1, caches = run(tokens[:, :split], caches, 0)
+    outs = [out1]
+    for i in range(split, t):
+        o, caches = run(tokens[:, i:i + 1], caches, i)
+        outs.append(o)
+    stepped = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full, np.float32),
+                               np.asarray(stepped, np.float32),
+                               atol=2e-2, rtol=2e-2)
