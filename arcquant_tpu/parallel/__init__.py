@@ -8,3 +8,4 @@ from .tp import (shard_layer_params_tp, shard_model_params_tp,
                  TPContext)
 from .ring import ring_attention, sp_flash_prefill
 from .pp import stack_stage_params, pp_quant_model_forward
+from .ep import shard_moe_params, make_ep_moe_forward, ep_moe_block
