@@ -16,7 +16,7 @@ from typing import List, Dict
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.quantized import QUANT_SITES, SiteCalib
+from ..models.quantized import SiteCalib
 
 
 def save_calibration(path: str, calib: List[Dict[str, SiteCalib]],
@@ -41,16 +41,14 @@ def load_calibration(path: str) -> List[Dict[str, SiteCalib]]:
     data = np.load(path)
     select = json.loads(bytes(data["__select_nums__"]).decode())
     num_layers = int(data["__num_layers__"])
-    calib = []
-    for i in range(num_layers):
-        layer = {}
-        for site in QUANT_SITES:
-            key = f"layer{i}/{site}/reorder_index"
-            if key not in data:
-                continue
-            layer[site] = SiteCalib(
-                jnp.asarray(data[key]), select[f"layer{i}/{site}"])
-        calib.append(layer)
+    calib: List[Dict[str, SiteCalib]] = [{} for _ in range(num_layers)]
+    # Sites are read back from the select-num keys rather than a fixed
+    # list: MoE configs persist extra sites (e.g. sdown_in).
+    for lk in select:
+        layer_s, site = lk.split("/", 1)
+        i = int(layer_s[len("layer"):])
+        calib[i][site] = SiteCalib(
+            jnp.asarray(data[f"{lk}/reorder_index"]), select[lk])
     return calib
 
 

@@ -46,7 +46,7 @@ import numpy as np
 from ..config import ModelConfig, OUTLIER_THRESHOLD, SELECT_NUM_MULTIPLE
 from ..kernels.attention import flash_attention
 from ..models import llama
-from ..models.quantized import QUANT_SITES, SiteCalib
+from ..models.quantized import QUANT_SITES, SiteCalib, quant_sites
 from ..quant import numerics as N
 
 METRICS = ("max", "hessian", "score")
@@ -80,6 +80,22 @@ def site_activations(cfg: ModelConfig, p, x, cos, sin):
     x = x + llama.linear(p["o"], attn)
     h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
     sites["mlp_in"] = h
+    if "moe" in p:
+        # MoE layer: the expert intermediates come back through taps —
+        # dense mode gives routing-masked [T, E, F], dispatch mode
+        # [E, C, F] capacity slots (zero rows are stat-neutral). The
+        # down_in site calib is SHARED across experts (one reorder
+        # index per layer, reference model_utils.py:39-42 analog).
+        from ..models import moe
+        taps: Dict[str, jax.Array] = {}
+        y = moe.moe_block(cfg, p["moe"], h, taps=taps)
+        # flatten to ONE chunk row [1, N, F]: for max/hessian this is
+        # identical to per-sample layout; for `score` the L2 is over
+        # the whole chunk instead of per sample (documented deviation)
+        for name, v in taps.items():
+            sites[name] = v.reshape(1, -1, v.shape[-1])
+        x = x + y
+        return x, sites
     gate = llama.linear(p["gate"], h)
     up = llama.linear(p["up"], h)
     inter = (jax.nn.silu(gate.astype(jnp.float32))
@@ -110,10 +126,18 @@ def _site_stat(acts: jax.Array, metric: str) -> jax.Array:
 def _site_outlier_count(acts: jax.Array) -> jax.Array:
     """Per-SAMPLE fraction of entries above 0.125 · per-row signed max
     (utilize.py:472-474). Returns [C] so the caller can average over
-    exactly the first `select_batch` samples."""
+    exactly the first `select_batch` samples.
+
+    All-zero token rows are EXCLUDED from the mean: MoE site taps carry
+    unrouted (token, expert) / empty capacity slots as zero rows, and
+    counting them would dilute the fraction by ~E/k. Dense sites never
+    have exactly-zero rows, so this is a no-op for them."""
     a = acts.astype(jnp.float32)
     thresh = jnp.max(a, axis=-1, keepdims=True) * OUTLIER_THRESHOLD
-    return jnp.mean(a > thresh, axis=(1, 2))
+    live = (jnp.max(jnp.abs(a), axis=-1) > 0).astype(jnp.float32)
+    frac_row = jnp.mean(a > thresh, axis=-1)
+    return (jnp.sum(frac_row * live, axis=1)
+            / jnp.maximum(jnp.sum(live, axis=1), 1.0))
 
 
 def _accumulate(old, new, metric):
@@ -147,6 +171,7 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
     """
     if metric not in METRICS:
         raise ValueError(f"metric {metric!r} not in {METRICS}")
+    sites_cfg = quant_sites(cfg)
     s, t = tokens.shape
     nsel = min(select_batch or s, s)
     chunk = max(1, min(s, _CHUNK_TOKENS // max(t, 1)))
@@ -182,12 +207,12 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
     per_layer_fracs: List[Dict[str, float]] = []
     for li in range(cfg.num_layers):
         p = layers(li) if streamed else layers[li]
-        acc: Dict[str, jax.Array] = {site: None for site in QUANT_SITES}
-        fr: Dict[str, list] = {site: [] for site in QUANT_SITES}
+        acc: Dict[str, jax.Array] = {site: None for site in sites_cfg}
+        fr: Dict[str, list] = {site: [] for site in sites_cfg}
         for j, xc in enumerate(xs):
             cos, sin = ropes[xc.shape[0]]
             xs[j], stats_c, fracs_c = layer_chunk(p, xc, cos, sin)
-            for site in QUANT_SITES:
+            for site in sites_cfg:
                 acc[site] = _accumulate(acc[site], stats_c[site], metric)
                 fr[site].append(np.asarray(fracs_c[site]))
         if streamed:
@@ -199,13 +224,13 @@ def compute_calibration(cfg: ModelConfig, params, tokens: jax.Array,
         per_layer_stats.append(acc)
         per_layer_fracs.append(
             {site: float(np.concatenate(fr[site])[:nsel].mean())
-             for site in QUANT_SITES})
+             for site in sites_cfg})
 
     calib = []
     total_elems, total_bits = 0, 0.0
     for stats, fracs in zip(per_layer_stats, per_layer_fracs):
         layer_calib = {}
-        for site in QUANT_SITES:
+        for site in sites_cfg:
             stat = stats[site]
             k = stat.shape[0]
             order = jnp.argsort(stat).astype(jnp.int32)  # ascending

@@ -147,12 +147,16 @@ def _quantize_inter(inter: jax.Array, calib, qcfg: Optional[QuantConfig]):
 # ---------------------------------------------------------------------------
 
 def _ffn_dense(p: Params, xa: jax.Array, gx, cw: jax.Array,
-               calib_down=None, qcfg=None) -> jax.Array:
+               calib_down=None, qcfg=None, taps=None) -> jax.Array:
     """All experts on all tokens; combine with cw [T, E]."""
     gate = _stacked_linear(p["gate"], xa, gx, "tk,efk->tef")
     up = _stacked_linear(p["up"], xa, gx, "tk,efk->tef")
     inter = (jax.nn.silu(gate.astype(jnp.float32))
              * up.astype(jnp.float32)).astype(jnp.bfloat16)  # [T, E, F]
+    if taps is not None:
+        # calibration: only ROUTED (token, expert) rows count toward
+        # the down_in site statistics
+        taps["down_in"] = inter * (cw > 0)[:, :, None].astype(inter.dtype)
     # per-expert requant wants E leading: [E, T, F]
     inter = inter.transpose(1, 0, 2)
     ia, gi = _quantize_inter(inter, calib_down, qcfg)
@@ -167,7 +171,7 @@ def _ffn_dense(p: Params, xa: jax.Array, gx, cw: jax.Array,
 
 def _ffn_dispatch(p: Params, xa: jax.Array, gx, cw: jax.Array,
                   capacity: int, k: int,
-                  calib_down=None, qcfg=None) -> jax.Array:
+                  calib_down=None, qcfg=None, taps=None) -> jax.Array:
     """GShard one-hot dispatch. cw [T, E] with <= k nonzeros per row;
     exact when no expert receives more than `capacity` tokens
     (overflow tokens drop to 0, standard MoE semantics)."""
@@ -199,6 +203,10 @@ def _ffn_dispatch(p: Params, xa: jax.Array, gx, cw: jax.Array,
     up = _stacked_linear(p["up"], xin, gxd, "eck,efk->ecf")
     inter = (jax.nn.silu(gate.astype(jnp.float32))
              * up.astype(jnp.float32)).astype(jnp.bfloat16)
+    if taps is not None:
+        # [E, C, F]: unrouted capacity slots are zero rows (harmless
+        # for max/hessian/score statistics)
+        taps["down_in"] = inter
     ia, gi = _quantize_inter(inter, calib_down, qcfg)
     y = _stacked_linear(p["down"], ia, gi, "eck,edk->ecd")  # [E, C, D]
     # combine = transpose of dispatch, weighted by the router probs
@@ -214,7 +222,7 @@ def _ffn_dispatch(p: Params, xa: jax.Array, gx, cw: jax.Array,
 
 def moe_ffn(cfg: ModelConfig, p: Params, xa: jax.Array, gx,
             cw: jax.Array, capacity: Optional[int] = None,
-            calib_down=None, qcfg=None) -> jax.Array:
+            calib_down=None, qcfg=None, taps=None) -> jax.Array:
     """Routed-expert FFN on (possibly quantized) activations.
 
     xa [T, Dk] (scaled units if quantized), cw [T, E] combine weights
@@ -226,13 +234,14 @@ def moe_ffn(cfg: ModelConfig, p: Params, xa: jax.Array, gx,
         capacity = max(1, int(math.ceil(
             t * k / cw.shape[1] * CAPACITY_FACTOR)))
     if t <= DENSE_MODE_MAX_T:
-        return _ffn_dense(p, xa, gx, cw, calib_down, qcfg)
-    return _ffn_dispatch(p, xa, gx, cw, capacity, k, calib_down, qcfg)
+        return _ffn_dense(p, xa, gx, cw, calib_down, qcfg, taps)
+    return _ffn_dispatch(p, xa, gx, cw, capacity, k, calib_down, qcfg,
+                         taps)
 
 
 def moe_block(cfg: ModelConfig, p: Params, x: jax.Array,
               layer_calib=None, qcfg: Optional[QuantConfig] = None,
-              capacity: Optional[int] = None) -> jax.Array:
+              capacity: Optional[int] = None, taps=None) -> jax.Array:
     """Drop-in replacement for mlp_block on MoE configs.
 
     x [B, T, D] -> [B, T, D]. Routing is always bf16/f32 on the raw
@@ -257,10 +266,10 @@ def moe_block(cfg: ModelConfig, p: Params, x: jax.Array,
     else:
         xa, gx, calib_down, qcfg = x2, jnp.float32(1.0), None, None
 
-    y = moe_ffn(cfg, p, xa, gx, cw, capacity, calib_down, qcfg)
+    y = moe_ffn(cfg, p, xa, gx, cw, capacity, calib_down, qcfg, taps)
 
     if "sgate" in p:
-        sy = _shared_expert(p, x2, xa, gx, layer_calib, qcfg)
+        sy = _shared_expert(p, x2, xa, gx, layer_calib, qcfg, taps)
         gate = jax.nn.sigmoid(jnp.dot(
             x2.astype(jnp.float32), p["shared_gate"]["w"].T
             .astype(jnp.float32)))                       # [T, 1]
@@ -269,7 +278,7 @@ def moe_block(cfg: ModelConfig, p: Params, x: jax.Array,
 
 
 def _shared_expert(p: Params, x2: jax.Array, xa: jax.Array, gx,
-                   layer_calib, qcfg) -> jax.Array:
+                   layer_calib, qcfg, taps=None) -> jax.Array:
     """Qwen-MoE always-on expert: a plain (possibly quantized) FFN."""
     from . import quantized as Q
     if qcfg is None:
@@ -278,6 +287,8 @@ def _shared_expert(p: Params, x2: jax.Array, xa: jax.Array, gx,
         up = jnp.dot(x2, p["sup"]["w"].T,
                      preferred_element_type=jnp.float32)
         inter = (jax.nn.silu(gate) * up).astype(x2.dtype)
+        if taps is not None:
+            taps["sdown_in"] = inter
         return jnp.dot(inter, p["sdown"]["w"].T,
                        preferred_element_type=jnp.float32
                        ).astype(x2.dtype)

@@ -38,6 +38,17 @@ Params = Dict[str, Any]
 # (model_utils.py:39-42): attention input (q/k/v), attention output
 # (o), MLP input (gate/up), MLP intermediate (down).
 QUANT_SITES = ("attn_in", "o_in", "mlp_in", "down_in")
+
+
+def quant_sites(cfg) -> tuple:
+    """Per-config site list: MoE models with a shared expert add the
+    shared-expert down-projection input."""
+    if getattr(cfg, "num_experts", 0) and cfg.shared_expert_size:
+        return QUANT_SITES + ("sdown_in",)
+    return QUANT_SITES
+
+
+
 _SITE_OF_PROJ = {"q": "attn_in", "k": "attn_in", "v": "attn_in",
                  "o": "o_in", "gate": "mlp_in", "up": "mlp_in",
                  "down": "down_in"}

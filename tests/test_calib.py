@@ -106,3 +106,54 @@ def test_calibrated_arc_reduces_logits_error(setup):
     mse_arc = float(jnp.mean((q_logits(calib_real) - logits_ref) ** 2))
     assert np.isfinite(mse0) and np.isfinite(mse_arc)
     assert mse_arc < mse0, (mse0, mse_arc)
+
+
+def test_outlier_count_ignores_zero_rows():
+    """MoE site taps carry unrouted slots as all-zero rows; the outlier
+    fraction must not be diluted by them (calibrate._site_outlier_count
+    excludes zero rows from the mean)."""
+    from arcquant_tpu.calib.calibrate import _site_outlier_count
+    rows = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 32))
+    dense = _site_outlier_count(rows)
+    padded = jnp.concatenate(
+        [rows, jnp.zeros((1, 24, 32), rows.dtype)], axis=1)
+    np.testing.assert_allclose(np.asarray(_site_outlier_count(padded)),
+                               np.asarray(dense), atol=1e-6)
+
+
+def test_moe_calibration_end_to_end():
+    """compute_calibration on a shared-expert MoE config: per-layer
+    calib carries all five sites (incl. sdown_in) with the right
+    channel dims, and the computed calib drives a finite quantized
+    forward through quantize_model_params."""
+    cfg = get_model_config("test-tiny-moe")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tokens = jnp.asarray(
+        synthetic_stream(cfg.vocab_size, 2 * 32, seed=3).reshape(2, 32))
+    calib, stats, avg_bits = compute_calibration(cfg, params, tokens)
+    assert len(calib) == cfg.num_layers
+    expect_dims = {"attn_in": cfg.hidden_size, "o_in": cfg.q_size,
+                   "mlp_in": cfg.hidden_size,
+                   "down_in": cfg.moe_intermediate_size,
+                   "sdown_in": cfg.shared_expert_size}
+    for layer in calib:
+        assert set(layer) == set(expect_dims)
+        for site, sc in layer.items():
+            k = sc.reorder_index.shape[0]
+            assert k == expect_dims[site], site
+            assert jnp.all(jnp.sort(sc.reorder_index)
+                           == jnp.arange(k, dtype=jnp.int32))
+            assert sc.select_num % 64 == 0
+    assert 4.5 <= avg_bits < 9.0
+    # artifact roundtrip must preserve the extra MoE site
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/c.npz"
+        save_calibration(path, calib)
+        calib = load_calibration(path)
+    assert all(set(layer) == set(expect_dims) for layer in calib)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False,
+                       w_scale="channel")
+    qp = quantized.quantize_model_params(cfg, params, calib, qcfg)
+    out = quantized.quant_model_forward(cfg, qp, calib, qcfg, tokens)
+    assert bool(jnp.all(jnp.isfinite(out)))
