@@ -210,6 +210,10 @@ def config_from_hf(hf_config) -> ModelConfig:
     rope_scaling = getattr(hf_config, "rope_scaling", None) or {}
     is_llama3 = (rope_scaling.get("rope_type", rope_scaling.get("type"))
                  == "llama3")
+    # MoE fields: Mixtral uses num_local_experts, Qwen-MoE num_experts;
+    # dense checkpoints have neither (-> 0, dense path).
+    n_exp = (getattr(hf_config, "num_local_experts", None)
+             or getattr(hf_config, "num_experts", None) or 0)
     return ModelConfig(
         name=getattr(hf_config, "name_or_path", mt) or mt,
         vocab_size=hf_config.vocab_size,
@@ -222,7 +226,7 @@ def config_from_hf(hf_config) -> ModelConfig:
         head_dim=getattr(hf_config, "head_dim", 0) or 0,
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
         rms_eps=hf_config.rms_norm_eps,
-        qkv_bias=(mt == "qwen2"),
+        qkv_bias=(mt in ("qwen2", "qwen2_moe")),
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         max_position_embeddings=hf_config.max_position_embeddings,
         rope_scaling_factor=(rope_scaling.get("factor")
@@ -231,4 +235,16 @@ def config_from_hf(hf_config) -> ModelConfig:
         rope_high_freq_factor=rope_scaling.get("high_freq_factor", 4.0),
         rope_original_max_pos=rope_scaling.get(
             "original_max_position_embeddings", 8192),
+        num_experts=n_exp,
+        num_experts_per_tok=getattr(
+            hf_config, "num_experts_per_tok", None) or 2,
+        moe_intermediate_size=(getattr(
+            hf_config, "moe_intermediate_size", None)
+            or (hf_config.intermediate_size if n_exp else 0)),
+        shared_expert_size=getattr(
+            hf_config, "shared_expert_intermediate_size", None) or 0,
+        norm_topk_prob=bool(getattr(hf_config, "norm_topk_prob", None)
+                            if getattr(hf_config, "norm_topk_prob",
+                                       None) is not None
+                            else mt == "mixtral"),
     )

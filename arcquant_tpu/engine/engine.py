@@ -128,6 +128,12 @@ def _o_proj(cfg, p, attn, layer_calib, qcfg, b, t,
 
 
 def _mlp(cfg, p, x, layer_calib, qcfg):
+    if "moe" in p:
+        # MoE layer: routed stacked-expert FFN (+ optional Qwen shared
+        # expert). Decode sees B·1 tokens -> dense mode; prefill above
+        # DENSE_MODE_MAX_T tokens -> capacity dispatch (models/moe.py).
+        from ..models import moe
+        return moe.moe_block(cfg, p["moe"], x, layer_calib, qcfg)
     b, t, d = x.shape
     dtype = x.dtype
     x2 = x.reshape(b * t, d)

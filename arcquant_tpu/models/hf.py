@@ -73,21 +73,55 @@ def load_hf_params(model_dir: str, cfg: Optional[ModelConfig] = None,
             p["b"] = get(prefix + ".bias")
         return p
 
+    def moe_params(pre):
+        """Stacked-expert MoE block from either HF layout:
+        Mixtral  — {pre}.block_sparse_moe.gate / .experts.{e}.w1/w3/w2
+        Qwen-MoE — {pre}.mlp.gate / .mlp.experts.{e}.gate|up|down_proj
+                   (+ .mlp.shared_expert.* and .mlp.shared_expert_gate)
+        Expert weights stack to [E, F, D] / [E, D, F] (models/moe.py
+        init_moe_params layout: E is the ep-sharding/einsum batch
+        axis)."""
+        mixtral = any(".block_sparse_moe." in k
+                      and k.split(".block_sparse_moe.")[0]
+                      .endswith(pre.split("model.")[-1]) for k in t)
+        mpre = pre + (".block_sparse_moe" if mixtral else ".mlp")
+        names = (("w1", "w3", "w2") if mixtral
+                 else ("gate_proj", "up_proj", "down_proj"))
+        stacks = {dst: jnp.stack(
+            [get(f"{mpre}.experts.{e}.{src}.weight")
+             for e in range(cfg.num_experts)])
+            for dst, src in zip(("gate", "up", "down"), names)}
+        p = {"router": {"w": get(mpre + ".gate.weight")},
+             **{k: {"w": v} for k, v in stacks.items()}}
+        if cfg.shared_expert_size:
+            p["sgate"] = linear(mpre + ".shared_expert.gate_proj", False)
+            p["sup"] = linear(mpre + ".shared_expert.up_proj", False)
+            p["sdown"] = linear(mpre + ".shared_expert.down_proj", False)
+            p["shared_gate"] = linear(mpre + ".shared_expert_gate",
+                                      False)
+        return p
+
     layers = []
     qb = cfg.qkv_bias
     for i in range(cfg.num_layers):
         pre = f"model.layers.{i}"
-        layers.append({
+        lp = {
             "attn_norm": get(pre + ".input_layernorm.weight"),
             "mlp_norm": get(pre + ".post_attention_layernorm.weight"),
             "q": linear(pre + ".self_attn.q_proj", qb),
             "k": linear(pre + ".self_attn.k_proj", qb),
             "v": linear(pre + ".self_attn.v_proj", qb),
             "o": linear(pre + ".self_attn.o_proj", False),
-            "gate": linear(pre + ".mlp.gate_proj", False),
-            "up": linear(pre + ".mlp.up_proj", False),
-            "down": linear(pre + ".mlp.down_proj", False),
-        })
+        }
+        if cfg.num_experts:
+            lp["moe"] = moe_params(pre)
+        else:
+            lp.update(
+                gate=linear(pre + ".mlp.gate_proj", False),
+                up=linear(pre + ".mlp.up_proj", False),
+                down=linear(pre + ".mlp.down_proj", False),
+            )
+        layers.append(lp)
     params: Dict[str, Any] = {
         "embed": get("model.embed_tokens.weight"),
         "final_norm": get("model.norm.weight"),

@@ -157,6 +157,15 @@ def quantize_layer_params_fused(layer_p: Params,
              "gateup": (("gate", "up"), "mlp_in"),
              "o": (("o",), "o_in"),
              "down": (("down",), "down_in")}
+    if "moe" in layer_p:
+        # MoE layer: attention fuses as usual; the expert FFN keeps its
+        # stacked-einsum formulation (moe.quantize_moe_params — gate/up
+        # fusion would double the [E, F, D] einsum's output tile for no
+        # GEMM-count win, the stacked batch already amortizes launches)
+        from . import moe
+        out["moe"] = moe.quantize_moe_params(layer_p["moe"],
+                                             layer_calib, qcfg)
+        specs = {k: v for k, v in specs.items() if k in ("qkv", "o")}
     for name, (projs, site) in specs.items():
         p = cat(projs) if len(projs) > 1 else layer_p[projs[0]]
         calib = layer_calib[site]
