@@ -124,9 +124,13 @@ def _stacked_linear(qp: Params, x: jax.Array, gx,
                       ).astype(x.dtype)
 
 
-def _quantize_inter(inter: jax.Array, calib, qcfg: Optional[QuantConfig]):
+def _quantize_inter(inter: jax.Array, calib, qcfg: Optional[QuantConfig],
+                    gs_reduce=None):
     """Re-quantize the silu(g)*u intermediate for the down projection.
-    inter: [..., F] with leading batch dims; returns (aug, gscale)."""
+    inter: [..., F] with leading batch dims; returns (aug, gscale).
+    gs_reduce: optional cross-shard reduction of the TENSOR scale (EP
+    shards see only local experts' intermediates; per-row scales are
+    shard-local by construction and never reduced)."""
     if qcfg is None or qcfg.quant_type == "BF16":
         return inter, jnp.float32(1.0)
     from ..quant import arc
@@ -135,7 +139,9 @@ def _quantize_inter(inter: jax.Array, calib, qcfg: Optional[QuantConfig]):
     flat = inter.reshape(-1, inter.shape[-1])
     xa, gi = arc.arc_quantize_x_qdq(flat, calib.reorder_index,
                                     calib.select_num, qcfg.quant_type,
-                                    per_row=per_row)
+                                    per_row=per_row,
+                                    gs_reduce=None if per_row
+                                    else gs_reduce)
     xa = xa.reshape(*lead, xa.shape[-1])
     if isinstance(gi, jax.Array) and gi.ndim == 2:      # [T_flat, 1]
         gi = gi.reshape(*lead, 1)
@@ -147,7 +153,8 @@ def _quantize_inter(inter: jax.Array, calib, qcfg: Optional[QuantConfig]):
 # ---------------------------------------------------------------------------
 
 def _ffn_dense(p: Params, xa: jax.Array, gx, cw: jax.Array,
-               calib_down=None, qcfg=None, taps=None) -> jax.Array:
+               calib_down=None, qcfg=None, taps=None,
+               gs_reduce=None) -> jax.Array:
     """All experts on all tokens; combine with cw [T, E]."""
     gate = _stacked_linear(p["gate"], xa, gx, "tk,efk->tef")
     up = _stacked_linear(p["up"], xa, gx, "tk,efk->tef")
@@ -159,7 +166,7 @@ def _ffn_dense(p: Params, xa: jax.Array, gx, cw: jax.Array,
         taps["down_in"] = inter * (cw > 0)[:, :, None].astype(inter.dtype)
     # per-expert requant wants E leading: [E, T, F]
     inter = inter.transpose(1, 0, 2)
-    ia, gi = _quantize_inter(inter, calib_down, qcfg)
+    ia, gi = _quantize_inter(inter, calib_down, qcfg, gs_reduce)
     y = _stacked_linear(p["down"], ia, gi, "etk,edk->etd")   # [E, T, D]
     return jnp.einsum("etd,te->td", y.astype(jnp.float32),
                       cw).astype(jnp.bfloat16)
@@ -171,7 +178,8 @@ def _ffn_dense(p: Params, xa: jax.Array, gx, cw: jax.Array,
 
 def _ffn_dispatch(p: Params, xa: jax.Array, gx, cw: jax.Array,
                   capacity: int, k: int,
-                  calib_down=None, qcfg=None, taps=None) -> jax.Array:
+                  calib_down=None, qcfg=None, taps=None,
+                  gs_reduce=None) -> jax.Array:
     """GShard one-hot dispatch. cw [T, E] with <= k nonzeros per row;
     exact when no expert receives more than `capacity` tokens
     (overflow tokens drop to 0, standard MoE semantics)."""
@@ -207,7 +215,7 @@ def _ffn_dispatch(p: Params, xa: jax.Array, gx, cw: jax.Array,
         # [E, C, F]: unrouted capacity slots are zero rows (harmless
         # for max/hessian/score statistics)
         taps["down_in"] = inter
-    ia, gi = _quantize_inter(inter, calib_down, qcfg)
+    ia, gi = _quantize_inter(inter, calib_down, qcfg, gs_reduce)
     y = _stacked_linear(p["down"], ia, gi, "eck,edk->ecd")  # [E, C, D]
     # combine = transpose of dispatch, weighted by the router probs
     comb = disp.astype(jnp.float32) * w_flat.reshape(t, k, 1)

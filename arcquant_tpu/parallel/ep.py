@@ -111,11 +111,16 @@ def ep_moe_block(cfg: ModelConfig, p_local: Params, x: jax.Array,
         capacity = max(1, int(math.ceil(
             b * t * cfg.num_experts_per_tok / cw.shape[1]
             * moe.CAPACITY_FACTOR)))
+    # Tensor-scale grid agreement: the down_in re-quantize scale must
+    # be the max over ALL experts' intermediates, not this shard's
+    # local ones, to match the unsharded computation bit-for-bit.
+    gs_red = lambda s: jax.lax.pmax(s, ep_axis)  # noqa: E731
     if b * t <= moe.DENSE_MODE_MAX_T:
-        y = moe._ffn_dense(p_local, xa, gx, cw_loc, calib_down, qcfg)
+        y = moe._ffn_dense(p_local, xa, gx, cw_loc, calib_down, qcfg,
+                           gs_reduce=gs_red)
     else:
         y = moe._ffn_dispatch(p_local, xa, gx, cw_loc, capacity, k_loc,
-                              calib_down, qcfg)
+                              calib_down, qcfg, gs_reduce=gs_red)
     y = jax.lax.psum(y.astype(jnp.float32), ep_axis)       # [T, D]
 
     if "sgate" in p_local:

@@ -66,7 +66,7 @@ def stack_stage_params(cfg: ModelConfig, qparams: Params, calib: list,
     # unstackable) — check BEFORE stacking for a clear error
     sels = {}
     cal = {}
-    for site in quantized.QUANT_SITES:
+    for site in calib[0]:
         counts = {calib[i][site].select_num for i in range(l)}
         assert len(counts) == 1, (
             f"pp path needs a uniform select_num for site {site}; "
@@ -126,7 +126,7 @@ def pp_quant_model_forward(cfg: ModelConfig, pparams: Params,
                 lp = jax.tree.map(lambda a, li=li: a[0, li], stages)
                 lc = {site: quantized.SiteCalib(
                     cal_idx[site][0, li], sels[site])
-                    for site in quantized.QUANT_SITES}
+                    for site in cal_idx}
                 x, _ = quantized.quant_layer_forward(
                     cfg, lp, x, cos, sin, lc, qcfg)
             done = step - (pp - 1)

@@ -56,11 +56,11 @@ def bucket_calib_uniform(calib: List[Dict[str, Any]]):
     channels carry near-zero residuals, so accuracy only improves)."""
     out = []
     smax = {site: max(c[site].select_num for c in calib)
-            for site in quantized.QUANT_SITES}
+            for site in calib[0]}
     for c in calib:
         out.append({site: quantized.SiteCalib(
             c[site].reorder_index, smax[site])
-            for site in quantized.QUANT_SITES})
+            for site in calib[0]})
     return out
 
 
@@ -93,12 +93,14 @@ class PPInferenceEngine(InferenceEngine):
         stages = jax.tree.map(stack, *qlayers)
         # stacked per-site reorder indices ride along (sharded with
         # the stage axis); select counts are static + uniform
+        # sites come from the calib itself (MoE configs carry extra
+        # sites, e.g. the shared-expert down input)
         self._sels = {site: calib[0][site].select_num
-                      for site in quantized.QUANT_SITES}
+                      for site in calib[0]}
         self._calib_idx = {
             site: stack(*[calib[i][site].reorder_index
                           for i in range(cfg.num_layers)])
-            for site in quantized.QUANT_SITES}
+            for site in calib[0]}
         sh = NamedSharding(mesh, P("pp"))
         repl = NamedSharding(mesh, P())
         self._calib_idx = jax.tree.map(
@@ -168,7 +170,7 @@ class PPInferenceEngine(InferenceEngine):
             p = jax.tree.map(lambda a, j=j: a[0, j], stages)
             lc = {site: quantized.SiteCalib(cidx[site][0, j],
                                             self._sels[site])
-                  for site in quantized.QUANT_SITES}
+                  for site in cidx}
             h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
             q, k, v = _attn_common(cfg, p, h.reshape(b * t, -1), lc,
                                    qcfg, b, t, dt)

@@ -94,6 +94,10 @@ class TPInferenceEngine(InferenceEngine):
         repl = NamedSharding(mesh, P())
         sh0 = NamedSharding(mesh, P("tp"))
 
+        if cfg.num_experts:
+            assert cfg.num_experts % tp == 0, (
+                f"tp={tp} must divide num_experts={cfg.num_experts} "
+                "(experts shard over the tp axis — EP formulation)")
         qlayers = []
         self._row_sels = []
         exact = getattr(qcfg, "tp_exact_arc", False)
@@ -102,29 +106,43 @@ class TPInferenceEngine(InferenceEngine):
             o_pw, o_idx, o_pos, o_sel, _ = tpm.shard_linear_row(
                 lp["o"]["w"], None, lc["o_in"], tp, qcfg.weight_fmt,
                 qcfg.w_scale, exact=exact)
-            d_pw, d_idx, d_pos, d_sel, _ = tpm.shard_linear_row(
-                lp["down"]["w"], None, lc["down_in"], tp,
-                qcfg.weight_fmt, qcfg.w_scale, exact=exact)
             layer = {
                 "attn_norm": jax.device_put(lp["attn_norm"], repl),
                 "mlp_norm": jax.device_put(lp["mlp_norm"], repl),
                 "qkv": jax.device_put(_shard_fused_col(
                     lp, ("q", "k", "v"), lc["attn_in"], tp, qcfg), sh0),
-                "gateup": jax.device_put(_shard_fused_col(
-                    lp, ("gate", "up"), lc["mlp_in"], tp, qcfg), sh0),
                 "o": jax.device_put(o_pw, sh0),
-                "down": jax.device_put(d_pw, sh0),
                 "o_idx": jax.device_put(o_idx, sh0),
-                "down_idx": jax.device_put(d_idx, sh0),
             }
             if o_pos is not None:
                 layer["o_pos"] = jax.device_put(o_pos, sh0)
-            if d_pos is not None:
-                layer["down_pos"] = jax.device_put(d_pos, sh0)
-            self._row_sels.append(
-                {"o": o_sel, "down": d_sel,
-                 "_o_ke": lc["o_in"].select_num,
-                 "_down_ke": lc["down_in"].select_num})
+            sels = {"o": o_sel, "_o_ke": lc["o_in"].select_num}
+            if "moe" in lp:
+                # MoE layer: stacked expert weights (qdq form) shard on
+                # the EXPERT axis over "tp" (parallel/ep.py semantics —
+                # routing is global, one psum per layer); router and
+                # shared expert replicate.
+                from ..models import moe as moem
+                from . import ep as epm
+                mq = moem.quantize_moe_params(lp["moe"], lc, qcfg)
+                layer["moe"] = {
+                    name: {k: jax.device_put(
+                        v, sh0 if name in epm._EXPERT_STACKED else repl)
+                        for k, v in sub.items()}
+                    for name, sub in mq.items()}
+            else:
+                d_pw, d_idx, d_pos, d_sel, _ = tpm.shard_linear_row(
+                    lp["down"]["w"], None, lc["down_in"], tp,
+                    qcfg.weight_fmt, qcfg.w_scale, exact=exact)
+                layer["gateup"] = jax.device_put(_shard_fused_col(
+                    lp, ("gate", "up"), lc["mlp_in"], tp, qcfg), sh0)
+                layer["down"] = jax.device_put(d_pw, sh0)
+                layer["down_idx"] = jax.device_put(d_idx, sh0)
+                if d_pos is not None:
+                    layer["down_pos"] = jax.device_put(d_pos, sh0)
+                sels.update(down=d_sel,
+                            _down_ke=lc["down_in"].select_num)
+            self._row_sels.append(sels)
             qlayers.append(layer)
         qparams = {
             "embed": jax.device_put(params["embed"], repl),
@@ -267,6 +285,15 @@ class TPInferenceEngine(InferenceEngine):
         o_part = gk.gemm_dequant(oa, o_pw, go, out_dtype=jnp.float32)
         x = x + jax.lax.psum(o_part, "tp").astype(dt).reshape(b, t, d)
 
+        if "moe" in p:
+            # EP over the tp axis: global routing, local expert FFN,
+            # one psum (inside ep_moe_block), shared expert post-psum.
+            from . import ep as epm
+            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+            y = epm.ep_moe_block(cfg, p["moe"], h, ep_axis="tp",
+                                 layer_calib=lc, qcfg=qcfg)
+            return x + y.astype(dt), new_cache_l
+
         h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
         x2 = h.reshape(b * t, d)
         gu_pw = tpm._unstack(p["gateup"])
@@ -285,12 +312,17 @@ class TPInferenceEngine(InferenceEngine):
 
     def _specs(self):
         """Layer param specs for shard_map."""
+        from . import ep as epm
         lspec = []
         for lp in self.qparams["layers"]:
             s = {}
             for k in lp:
-                s[k] = P() if k in ("attn_norm", "mlp_norm") else \
-                    jax.tree.map(lambda _: P("tp"), lp[k])
+                if k in ("attn_norm", "mlp_norm"):
+                    s[k] = P()
+                elif k == "moe":
+                    s[k] = epm.moe_param_specs(lp[k], ep_axis="tp")
+                else:
+                    s[k] = jax.tree.map(lambda _: P("tp"), lp[k])
             lspec.append(s)
         return lspec
 

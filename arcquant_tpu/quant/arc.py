@@ -41,7 +41,7 @@ def top_channels(reorder_index: jax.Array, select_num: int) -> jax.Array:
 
 def arc_quantize_x_qdq(x: jax.Array, reorder_index: jax.Array,
                        select_num: int, quant_type: str = "NVFP4",
-                       per_row: bool = False):
+                       per_row: bool = False, gs_reduce=None):
     """Fake-quantize an activation matrix with ARC residual append.
 
     Args:
@@ -63,6 +63,11 @@ def arc_quantize_x_qdq(x: jax.Array, reorder_index: jax.Array,
     """
     if quant_type == "NVFP4":
         gs = N.nvfp4_global_scale(x, per_row=per_row)
+        if gs_reduce is not None:
+            # cross-shard scale agreement (e.g. lax.pmax over an ep
+            # axis): sharded callers must quantize on the same grid as
+            # the unsharded computation
+            gs = gs_reduce(gs)
     else:
         gs = jnp.float32(1.0)
     xs = x.astype(jnp.float32) / gs
