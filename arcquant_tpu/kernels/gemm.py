@@ -721,3 +721,103 @@ def dequantize_weight_kernel(pw: Union[PackedWeight, PackedWeightI8],
     out = out.at[0::2].set(w_even * s)
     out = out.at[1::2].set(w_odd * s)
     return out.astype(dtype)
+
+
+def dequant_weight(pw: Union[PackedWeight, PackedWeightI8],
+                   fold_global: bool = False) -> jax.Array:
+    """Fast one-pass packed -> bf16 decode via the Pallas dequant
+    kernel (the prefill M-dispatch primitive, exposed for weight
+    stacks that feed einsums — e.g. MoE dispatch mode).
+
+    Returns [Kq, N] in SCALED units unless fold_global, in which case
+    the weight global scale (tensor or per-channel) is folded in.
+    NOTE for w4: rows come back in the SPLIT-HALF k order (even ks
+    then odd ks) — contract only against split_even_odd'ed
+    activations."""
+    scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
+                 jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
+    w4 = not isinstance(pw, PackedWeightI8)
+    if pw.codes.ndim == 3:                  # stacked experts [E, ., N]
+        w = jax.vmap(lambda c, s: _dequant_call(
+            c, s, fmt="w4" if w4 else "w8",
+            interpret=_use_interpret()))(pw.codes, scales_u8)
+        if w4:
+            w = w.reshape(w.shape[0], -1, w.shape[-1])
+        if fold_global:
+            gw = pw.global_scale.astype(jnp.float32)
+            gw = gw.reshape(w.shape[0], 1, -1)
+            w = (w.astype(jnp.float32) * gw).astype(jnp.bfloat16)
+        return w
+    w = _dequant_call(pw.codes, scales_u8,
+                      fmt="w4" if w4 else "w8",
+                      interpret=_use_interpret())
+    if w4:
+        w = w.reshape(pw.kq, pw.n)
+    if fold_global:
+        gw = pw.global_scale.astype(jnp.float32).reshape(1, -1)
+        w = (w.astype(jnp.float32) * gw).astype(jnp.bfloat16)
+    return w
+
+
+def gemm_dequant_batched(xa: jax.Array,
+                         pw: Union[PackedWeight, PackedWeightI8],
+                         gx: jax.Array,
+                         out_dtype=jnp.bfloat16) -> jax.Array:
+    """Batched fused dequant-GEMM over a leading expert axis:
+    y[E, M, N] = (xa[e] @ dequant(pw[e]).T) * gx[e] * gws[e].
+
+    Args:
+      xa: [E, M, Kq] activations in scaled units, NATURAL k order.
+      pw: stacked packed weight — codes/scales/global_scale carry a
+          leading E axis (see moe.quantize_moe_params_packed).
+      gx: activation global scale — f32 scalar, [E], or [E, M, 1].
+
+    Implemented as jax.vmap over the fused kernel (Pallas lifts the
+    batch to a leading 'parallel' grid dimension, so this is ONE
+    kernel launch streaming each expert's weights once — the
+    MoE-decode analog of the dense fused GEMM; per-expert HBM traffic
+    is identical to E separate calls without E kernel fixed costs).
+    The XLA/DMA M-dispatch is deliberately skipped: batched callers
+    are decode-shaped (see moe.py; dispatch-mode prefill dequantizes
+    once via dequant_weight + einsum instead)."""
+    fmt = "w8" if isinstance(pw, PackedWeightI8) else "w4"
+    e, m, _ = xa.shape
+    kq = pw.codes.shape[1] * (2 if fmt == "w4" else 1)
+    n = pw.codes.shape[2]
+    scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
+                 jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
+    gx = jnp.asarray(gx, jnp.float32)
+    if gx.ndim == 0:
+        gxa = jnp.broadcast_to(gx.reshape(1, 1, 1), (e, m, 1))
+    elif gx.ndim == 1:
+        gxa = jnp.broadcast_to(gx[:, None, None], (e, m, 1))
+    else:
+        gxa = gx.reshape(e, m, 1)
+    gwv = pw.global_scale.astype(jnp.float32)
+    gws = (jnp.broadcast_to(gwv.reshape(e, 1), (e, n))
+           if gwv.ndim <= 1 or gwv.shape[-1] == 1
+           else gwv.reshape(e, n))
+    if fmt == "w8" and m <= 64:
+        bk, bn = _decode_blocks_w8(m, kq, n)
+    else:
+        from ..quant.packing import best_k_block
+        bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
+        bn = _pick_block(n, (512, 256, 128))
+    bm = min(_round_up(m, 16), 512)
+    m_pad = _round_up(m, bm)
+
+    def one(xe, codes, su8, gse, gwe):
+        if fmt == "w4":
+            xe = split_even_odd(xe)
+        xe = xe.astype(jnp.bfloat16)
+        gse = gse.astype(jnp.float32)
+        if m_pad != m:
+            xe = jnp.pad(xe, ((0, m_pad - m), (0, 0)))
+            gse = jnp.pad(gse, ((0, m_pad - m), (0, 0)))
+        y = _gemm_call(xe, codes, su8, gse, gwe.reshape(1, n), None,
+                       fmt=fmt, out_dtype=jnp.dtype(out_dtype).name,
+                       bm=bm, bn=bn, bk=bk, has_bias=False,
+                       interpret=_use_interpret())
+        return y[:m] if m_pad != m else y
+
+    return jax.vmap(one)(xa, pw.codes, scales_u8, gxa, gws)

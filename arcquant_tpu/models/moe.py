@@ -179,7 +179,7 @@ def _ffn_dense(p: Params, xa: jax.Array, gx, cw: jax.Array,
 def _ffn_dispatch(p: Params, xa: jax.Array, gx, cw: jax.Array,
                   capacity: int, k: int,
                   calib_down=None, qcfg=None, taps=None,
-                  gs_reduce=None) -> jax.Array:
+                  gs_reduce=None, requant=None) -> jax.Array:
     """GShard one-hot dispatch. cw [T, E] with <= k nonzeros per row;
     exact when no expert receives more than `capacity` tokens
     (overflow tokens drop to 0, standard MoE semantics)."""
@@ -215,7 +215,8 @@ def _ffn_dispatch(p: Params, xa: jax.Array, gx, cw: jax.Array,
         # [E, C, F]: unrouted capacity slots are zero rows (harmless
         # for max/hessian/score statistics)
         taps["down_in"] = inter
-    ia, gi = _quantize_inter(inter, calib_down, qcfg, gs_reduce)
+    ia, gi = (requant or _quantize_inter)(inter, calib_down, qcfg,
+                                          gs_reduce)
     y = _stacked_linear(p["down"], ia, gi, "eck,edk->ecd")  # [E, C, D]
     # combine = transpose of dispatch, weighted by the router probs
     comb = disp.astype(jnp.float32) * w_flat.reshape(t, k, 1)
@@ -241,6 +242,12 @@ def moe_ffn(cfg: ModelConfig, p: Params, xa: jax.Array, gx,
     if capacity is None:
         capacity = max(1, int(math.ceil(
             t * k / cw.shape[1] * CAPACITY_FACTOR)))
+    if "gateup_pk" in p:
+        if t <= DENSE_MODE_MAX_T:
+            return _ffn_dense_packed(p, xa, gx, cw, calib_down, qcfg,
+                                     taps)
+        return _ffn_dispatch_packed(p, xa, gx, cw, capacity, k,
+                                    calib_down, qcfg, taps)
     if t <= DENSE_MODE_MAX_T:
         return _ffn_dense(p, xa, gx, cw, calib_down, qcfg, taps)
     return _ffn_dispatch(p, xa, gx, cw, capacity, k, calib_down, qcfg,
@@ -261,10 +268,19 @@ def moe_block(cfg: ModelConfig, p: Params, x: jax.Array,
     x2 = x.reshape(b * t, d)
     cw = route(cfg, p["router"]["w"], x2)
 
-    if qcfg is not None and qcfg.quant_type != "BF16":
-        # Always the qdq activation path (never the kernel quantizer:
-        # it pads Kq for the Pallas GEMM's k-blocks, but expert
-        # weights here are unpadded qdq stacks)
+    if qcfg is not None and qcfg.quant_type != "BF16" \
+            and "gateup_pk" in p:
+        # packed experts (W4-at-rest): kernel quantizer, Kq-padded to
+        # the packed layout
+        from ..kernels import quantize as qk
+        c_in = layer_calib["mlp_in"]
+        xa, gx = qk.quantize_x_arc(
+            x2, c_in.reorder_index, c_in.select_num,
+            per_row=qcfg.act_scale == "row")
+        calib_down = layer_calib["down_in"]
+    elif qcfg is not None and qcfg.quant_type != "BF16":
+        # qdq stacks: unpadded qdq activation path (weights here are
+        # unpadded w_aug stacks)
         from ..quant import arc
         c_in = layer_calib["mlp_in"]
         xa, gx = arc.arc_quantize_x_qdq(
@@ -304,7 +320,15 @@ def _shared_expert(p: Params, x2: jax.Array, xa: jax.Array, gx,
     up = Q._q_linear(p["sup"], xa, gx, qcfg, jnp.bfloat16)
     inter = (jax.nn.silu(gate.astype(jnp.float32))
              * up.astype(jnp.float32)).astype(jnp.bfloat16)
-    ia, gi = _quantize_inter(inter, layer_calib["sdown_in"], qcfg)
+    sc = layer_calib["sdown_in"]
+    if not isinstance(p["sdown"], dict):
+        # packed sdown: kernel quantizer (Kq-padded to the pack)
+        from ..kernels import quantize as qk
+        ia, gi = qk.quantize_x_arc(inter, sc.reorder_index,
+                                   sc.select_num,
+                                   per_row=qcfg.act_scale == "row")
+    else:
+        ia, gi = _quantize_inter(inter, sc, qcfg)
     return Q._q_linear(p["sdown"], ia, gi, qcfg, jnp.bfloat16)
 
 
@@ -351,5 +375,149 @@ def quantize_moe_params(p: Params, layer_calib,
         out["sdown"] = _quantize_linear_fake(
             p["sdown"], layer_calib["sdown_in"], qcfg.quant_type,
             per_ch)
+        out["shared_gate"] = p["shared_gate"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Packed experts (W4-at-rest; single-chip engine capacity mode)
+# ---------------------------------------------------------------------------
+
+def _ffn_dense_packed(p: Params, xa: jax.Array, gx, cw: jax.Array,
+                      calib_down=None, qcfg=None, taps=None) -> jax.Array:
+    """Dense (decode) mode over PACKED experts: ONE fused dequant-GEMM
+    for all experts' gate+up (big-concat N = E·2F), one BATCHED fused
+    GEMM for down (leading-E grid). Weights stream compressed from HBM
+    — this is the W4 capacity story for MoE (reference nvfp4.cu:10-121
+    analog, batched the TPU way)."""
+    from ..kernels import gemm as gk
+    from ..kernels import quantize as qk
+    t = xa.shape[0]
+    e = cw.shape[1]
+    gu = gk.gemm_dequant(xa, p["gateup_pk"], gx,
+                         out_dtype=jnp.bfloat16)        # [T, E*2F]
+    f = gu.shape[1] // (2 * e)
+    gu = gu.reshape(t, e, 2, f)
+    inter = (jax.nn.silu(gu[:, :, 0].astype(jnp.float32))
+             * gu[:, :, 1].astype(jnp.float32)).astype(jnp.bfloat16)
+    if taps is not None:
+        taps["down_in"] = inter * (cw > 0)[:, :, None].astype(inter.dtype)
+    inter_e = inter.transpose(1, 0, 2).reshape(e * t, f)
+    ia, gi = qk.quantize_x_arc(inter_e, calib_down.reorder_index,
+                               calib_down.select_num,
+                               per_row=qcfg.act_scale == "row")
+    ia = ia.reshape(e, t, -1)
+    if isinstance(gi, jax.Array) and gi.ndim == 2:
+        gi = gi.reshape(e, t, 1)
+    y = gk.gemm_dequant_batched(ia, p["down_pk"], gi,
+                                out_dtype=jnp.float32)  # [E, T, D]
+    return jnp.einsum("etd,te->td", y, cw).astype(jnp.bfloat16)
+
+
+def _ffn_dispatch_packed(p: Params, xa: jax.Array, gx, cw: jax.Array,
+                         capacity: int, k: int, calib_down=None,
+                         qcfg=None, taps=None) -> jax.Array:
+    """Dispatch (prefill) mode over PACKED experts: dequantize each
+    expert stack ONCE to bf16 (Pallas one-pass decode — the M-dispatch
+    design of the dense prefill path, amortized over capacity·E rows)
+    and run the standard GShard dispatch einsums. Weights stay W4 at
+    rest; the bf16 scratch is per-layer transient."""
+    from ..kernels import gemm as gk
+    from ..kernels import quantize as qk
+    gpk, dpk = p["gateup_pk"], p["down_pk"]
+    e = cw.shape[1]
+    kq = gpk.kq
+    f = gpk.n // (2 * e)
+    w4 = gpk.codes.dtype == jnp.uint8
+    wgu = gk.dequant_weight(gpk).reshape(kq, e, 2, f)
+    gsv = gpk.global_scale.astype(jnp.float32)
+    gsv = (jnp.broadcast_to(gsv.reshape(1, 1, 1), (e, 2, f))
+           if gsv.ndim == 0 else gsv.reshape(e, 2, f))
+    wd = gk.dequant_weight(dpk)                     # [E, Kq_f, D]
+    gsd = dpk.global_scale.astype(jnp.float32)
+    gsd = (jnp.broadcast_to(gsd.reshape(1, 1), (e, wd.shape[-1]))
+           if gsd.ndim <= 1 else gsd)
+    p_tmp = {
+        "gate": {"w_aug": wgu[:, :, 0].transpose(1, 2, 0),
+                 "gs": gsv[:, 0]},
+        "up": {"w_aug": wgu[:, :, 1].transpose(1, 2, 0),
+               "gs": gsv[:, 1]},
+        "down": {"w_aug": wd.transpose(0, 2, 1), "gs": gsd},
+    }
+
+    # w4 dequant returns split-half k order; dispatch permutes token
+    # ROWS only, so pre-splitting the activations keeps contraction
+    # order consistent for gate/up, and the requant closure does the
+    # same for down
+    xa2 = gk.split_even_odd(xa) if w4 else xa
+
+    def requant(inter, calib, _qcfg, gs_reduce=None):
+        lead = inter.shape[:-1]
+        flat = inter.reshape(-1, inter.shape[-1])
+        ia, gi = qk.quantize_x_arc(flat, calib.reorder_index,
+                                   calib.select_num,
+                                   per_row=qcfg.act_scale == "row")
+        if w4:
+            ia = gk.split_even_odd(ia)
+        ia = ia.reshape(*lead, ia.shape[-1])
+        if isinstance(gi, jax.Array) and gi.ndim == 2:
+            gi = gi.reshape(*lead, 1)
+        return ia, gi
+
+    return _ffn_dispatch(p_tmp, xa2, gx, cw, capacity, k, calib_down,
+                         qcfg, taps, requant=requant)
+
+
+def quantize_moe_params_packed(p: Params, layer_calib,
+                               qcfg: QuantConfig) -> Params:
+    """Pack the expert stacks into the fused-GEMM byte formats
+    (W4-at-rest — the qdq stacks of quantize_moe_params keep bf16
+    memory, which defeats the MoE capacity story):
+
+      gateup_pk — ONE PackedWeight, N order per expert [gate_e; up_e]
+                  (N = E·2F): dense decode mode is a single fused GEMM
+      down_pk   — stacked codes [E, Kq_f, D]: batched fused GEMM
+
+    Per-CHANNEL weight scales always (one tensor scale across experts
+    would degrade accuracy, same rationale as the fused qkv/gate-up
+    packs). Shared expert packs as plain linears. EP/TP shard the qdq
+    stacks (quantize_moe_params); packed-EP sharding (down_pk's E
+    axis, gateup_pk N blocks) is future work."""
+    from ..quant import packing
+    out: Params = {"router": p["router"]}
+    fmt = qcfg.weight_fmt
+    c_in, c_dn = layer_calib["mlp_in"], layer_calib["down_in"]
+    e = p["gate"]["w"].shape[0]
+    gus, dns = [], []
+    for ei in range(e):
+        w_cat = jnp.concatenate([p["gate"]["w"][ei], p["up"]["w"][ei]],
+                                axis=0)
+        gus.append(packing.pack_weight_arc(
+            w_cat, c_in.reorder_index, c_in.select_num, fmt=fmt,
+            w_scale="channel"))
+        dns.append(packing.pack_weight_arc(
+            p["down"]["w"][ei], c_dn.reorder_index, c_dn.select_num,
+            fmt=fmt, w_scale="channel"))
+    cls = type(gus[0])
+    out["gateup_pk"] = cls(
+        codes=jnp.concatenate([g.codes for g in gus], axis=1),
+        scales=jnp.concatenate([g.scales for g in gus], axis=1),
+        global_scale=jnp.concatenate(
+            [g.global_scale.reshape(-1) for g in gus]),
+        bias=None)
+    out["down_pk"] = cls(
+        codes=jnp.stack([d.codes for d in dns]),
+        scales=jnp.stack([d.scales for d in dns]),
+        global_scale=jnp.stack(
+            [d.global_scale.reshape(-1) for d in dns]),
+        bias=None)
+    if "sgate" in p:
+        from .quantized import _quantize_linear_packed
+        out["sgate"] = _quantize_linear_packed(
+            p["sgate"], c_in, fmt, "channel")
+        out["sup"] = _quantize_linear_packed(
+            p["sup"], c_in, fmt, "channel")
+        out["sdown"] = _quantize_linear_packed(
+            p["sdown"], layer_calib["sdown_in"], fmt, "channel")
         out["shared_gate"] = p["shared_gate"]
     return out

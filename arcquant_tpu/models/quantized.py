@@ -163,8 +163,12 @@ def quantize_layer_params_fused(layer_p: Params,
         # fusion would double the [E, F, D] einsum's output tile for no
         # GEMM-count win, the stacked batch already amortizes launches)
         from . import moe
-        out["moe"] = moe.quantize_moe_params(layer_p["moe"],
-                                             layer_calib, qcfg)
+        out["moe"] = (
+            moe.quantize_moe_params_packed(layer_p["moe"], layer_calib,
+                                           qcfg)
+            if qcfg.use_kernels and qcfg.quant_type == "NVFP4"
+            else moe.quantize_moe_params(layer_p["moe"], layer_calib,
+                                         qcfg))
         specs = {k: v for k, v in specs.items() if k in ("qkv", "o")}
     for name, (projs, site) in specs.items():
         p = cat(projs) if len(projs) > 1 else layer_p[projs[0]]
