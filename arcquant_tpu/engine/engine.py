@@ -322,7 +322,7 @@ class InferenceEngine:
         return logits, cache
 
     def _prefill_chunk_forward(self, qparams, cache, page_table,
-                               tokens, lens, start):
+                               tokens, lens, start, all_logits=False):
         """One prefill chunk with per-ROW origin `start` ([B] i32,
         TRACED): appends the chunk's K/V into the paged pool and
         attends directly over the int4 pool (prefix + this chunk) via
@@ -360,6 +360,11 @@ class InferenceEngine:
             x = x + _mlp(cfg, p, h, lc, qcfg)
 
         x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
+        if all_logits:
+            # speculative verify wants every position's next-token
+            # distribution, not just the last
+            lg = self._head_logits(qparams, x.reshape(b * t, -1))
+            return lg.reshape(b, t, -1), cache
         # chunk-local index of each row's last valid token (clamped;
         # the host keeps only rows whose last token is in this chunk)
         local_last = jnp.clip(lens - 1 - start, 0, t - 1)
@@ -509,6 +514,39 @@ class InferenceEngine:
                 compiler_options=_xla_options())
         return self._prefill_jit[key](self.qparams, cache, pt, toks,
                                       lens, start)
+
+    def verify_step(self, state, tokens, valid):
+        """Speculative-decode verify: a MULTI-token decode step.
+
+        tokens [B, W] — per row, the last committed token followed by
+        W-1 draft tokens (right-padded); valid [B] in 1..W = how many
+        are real. Appends their KV at absolute positions
+        seq_lens..seq_lens+valid-1, attends over the int4 pool via the
+        paged flash-prefill kernel (exactly what plain decode reads),
+        and returns logits for ALL W positions [B, W, V] plus the
+        cache-updated state.
+
+        seq_lens in the returned state are UNCHANGED: the caller
+        commits the accepted length per row (engine/spec.py). Stale KV
+        beyond the committed length is overwritten by later appends
+        and never attended (kv_lens masks) — rollback is free because
+        appends address absolute positions."""
+        cache, pt, seq_lens = state
+        b, w = tokens.shape
+        key = ("verify", b, w)
+        if key not in self._prefill_jit:
+            def f(qparams, cache, pt, toks, lens, start):
+                return self._prefill_chunk_forward(
+                    qparams, cache, pt, toks, lens, start,
+                    all_logits=True)
+            self._prefill_jit[key] = jax.jit(
+                f, donate_argnums=(1,),
+                compiler_options=_xla_options())
+        valid = jnp.asarray(valid, jnp.int32)
+        logits, cache = self._prefill_jit[key](
+            self.qparams, cache, pt, tokens, seq_lens + valid,
+            seq_lens)
+        return logits, (cache, pt, seq_lens)
 
     def decode_step(self, state, tokens, active):
         """One decode step for every active slot.

@@ -1,0 +1,281 @@
+"""Greedy speculative decoding over the paged int4 engine.
+
+Beyond the reference (its decode loop is strictly one token per step,
+benchmarks/modeling_arc.py:436 / benchmark_e2e_arc.py): speculative
+decoding verifies W tokens per target forward, raising the decode
+GEMM M-dim from B to B*W — the single biggest lever on a
+weight-bandwidth-bound decode (the W4 weights are read ONCE per W
+tokens). Greedy acceptance keeps the output token-identical to plain
+greedy decode (tests/test_spec.py pins this).
+
+TPU-shaped design:
+  - verify = the paged flash-prefill chunk step (engine.verify_step):
+    one jitted multi-token forward whose per-row origin is traced
+    data, attending directly over the int4 pool — no new kernel.
+  - KV rollback is FREE: appends address absolute positions, so a
+    rejected draft's K/V is simply overwritten by the next round's
+    appends and never attended (seq_lens masks every kernel read).
+    The same trick rolls back the draft model's cache — its seq_lens
+    is host-side metadata, reset per round.
+  - the draft loop is one verify_step (catch-up) + one decode_scan
+    (on-device lax.scan) per round, not W host round-trips.
+
+Two drafters:
+  - NgramDrafter: prompt-lookup decoding (match the context's last
+    n-gram against itself, propose the continuation) — zero extra
+    FLOPs/weights, wins on repetitive text.
+  - EngineDrafter: any smaller InferenceEngine (e.g. fewer layers, or
+    a W4 version of a larger bf16 target) drafts autoregressively.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import InferenceEngine
+
+
+class NgramDrafter:
+    """Prompt-lookup drafting: the longest suffix n-gram (n ≤
+    max_ngram) of each row's context that re-occurs earlier proposes
+    the k tokens that followed its most recent earlier occurrence.
+    Host-side, model-free; wrong drafts cost nothing extra (the
+    verify width is static)."""
+
+    def __init__(self, max_ngram: int = 4):
+        self.max_ngram = max_ngram
+        self.ctx: List[List[int]] = []
+
+    def begin(self, prompts: Sequence[Sequence[int]], max_batch: int):
+        self.ctx = [list(p) for p in prompts]
+        self.ctx += [[] for _ in range(max_batch - len(self.ctx))]
+
+    def propose(self, cur: np.ndarray, k: int,
+                active: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(self.ctx), k), np.int32)
+        for b, c in enumerate(self.ctx):
+            if not active[b]:
+                continue
+            seq = c + [int(cur[b])]
+            out[b, :] = seq[-1]          # fallback: repeat last token
+            hit = self._match(seq)
+            if hit is not None:
+                got = seq[hit:hit + k]
+                out[b, :len(got)] = got
+        return out
+
+    def _match(self, seq: List[int]) -> Optional[int]:
+        """Index just past the most recent earlier occurrence of the
+        longest matching suffix n-gram, or None."""
+        L = len(seq)
+        for n in range(min(self.max_ngram, L - 1), 0, -1):
+            pat = seq[L - n:]
+            for s in range(L - n - 1, -1, -1):
+                if seq[s:s + n] == pat:
+                    return s + n
+        return None
+
+    def commit(self, committed: List[List[int]], accepted: np.ndarray,
+               new_lens: np.ndarray, active: np.ndarray):
+        for b, toks in enumerate(committed):
+            self.ctx[b].extend(toks)
+
+
+class EngineDrafter:
+    """Draft-model drafting over a second InferenceEngine.
+
+    Cache-coherence invariant (per row, at round start): the draft
+    cache's committed prefix equals the target's committed tokens,
+    except possibly the LAST one (when every draft was accepted the
+    final draft token's K/V never entered the draft cache) — that
+    token rides `self._catchup` and is fed through the draft's
+    verify_step next round. Rollback after partial acceptance is a
+    host-side seq_lens reset (absolute-position appends make stale
+    K/V harmless, engine.verify_step docstring)."""
+
+    def __init__(self, engine: InferenceEngine):
+        if engine.ecfg.dynamic_pages:
+            raise ValueError("EngineDrafter needs a static page "
+                             "layout (it manages no allocator)")
+        self.eng = engine
+        self.state = None
+        self._catchup: Optional[np.ndarray] = None
+        self._drafts: Optional[np.ndarray] = None
+
+    def begin(self, prompts: Sequence[Sequence[int]], max_batch: int):
+        e = self.eng.ecfg
+        assert max_batch <= e.max_batch
+        lens = np.zeros((e.max_batch,), np.int32)
+        lens[:len(prompts)] = [len(p) for p in prompts]
+        t = max(int(lens.max()), 1)
+        toks = np.zeros((e.max_batch, t), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, :len(p)] = np.asarray(p, np.int32)
+        state = self.eng.new_state()
+        _, self.state = self.eng.prefill(state, jnp.asarray(toks),
+                                         jnp.asarray(lens))
+        self._catchup = np.full((e.max_batch,), -1, np.int32)
+
+    def propose(self, cur: np.ndarray, k: int,
+                active: np.ndarray) -> np.ndarray:
+        cache, pt, dlens = self.state
+        catch = self._catchup
+        # catch-up + first draft in ONE ragged verify step: rows with
+        # a pending token feed [catchup, cur], the rest [cur, pad]
+        col0 = np.where(catch >= 0, catch, cur).astype(np.int32)
+        col1 = np.where(catch >= 0, cur, 0).astype(np.int32)
+        valid = np.where(catch >= 0, 2, 1).astype(np.int32)
+        toks2 = np.stack([col0, col1], axis=1)
+        logits, (cache, pt, dlens) = self.eng.verify_step(
+            (cache, pt, dlens), jnp.asarray(toks2), jnp.asarray(valid))
+        # verify_step leaves seq_lens alone; the fed tokens (catchup +
+        # cur) are all known-good here, commit them now
+        dlens = dlens + jnp.asarray(valid)
+        last = jnp.take_along_axis(
+            logits, jnp.asarray(valid - 1)[:, None, None], axis=1
+        )[:, 0]
+        d1 = jnp.argmax(last, -1).astype(jnp.int32)
+        if k > 1:
+            rest, (cache, pt, dlens) = self.eng.decode_scan(
+                (cache, pt, dlens), d1, jnp.asarray(active),
+                num_steps=k - 1)
+            drafts = np.concatenate(
+                [np.asarray(d1)[:, None], np.asarray(rest)], axis=1)
+        else:
+            drafts = np.asarray(d1)[:, None]
+        self.state = (cache, pt, dlens)
+        self._drafts = drafts
+        return drafts
+
+    def commit(self, committed: List[List[int]], accepted: np.ndarray,
+               new_lens: np.ndarray, active: np.ndarray):
+        cache, pt, dlens = self.state
+        k = self._drafts.shape[1]
+        full = accepted >= k          # every draft accepted
+        self._catchup = np.where(
+            active & full, self._drafts[:, k - 1], -1).astype(np.int32)
+        want = np.where(full, new_lens - 1, new_lens)
+        dl = np.where(active, want, np.asarray(dlens)).astype(np.int32)
+        self.state = (cache, pt, jnp.asarray(dl))
+
+
+class SpeculativeEngine:
+    """Greedy speculative decoding: token-identical to
+    InferenceEngine.generate, ≥1 committed token per verify round.
+
+    window = tokens per verify step (1 carried token + window-1
+    drafts). After generate(), `self.stats` holds
+    {rounds, proposed, accepted} for acceptance-rate telemetry."""
+
+    def __init__(self, engine: InferenceEngine, drafter,
+                 window: int = 4):
+        if window < 2:
+            raise ValueError("window must be >= 2 (1 carried token "
+                             "+ >=1 draft)")
+        self.eng = engine
+        self.drafter = drafter
+        self.window = window
+        self.stats = {"rounds": 0, "proposed": 0, "accepted": 0}
+
+    def generate(self, prompts: Sequence[Sequence[int]],
+                 max_new_tokens: int,
+                 eos_id: Optional[int] = None) -> List[List[int]]:
+        eng, e, w = self.eng, self.eng.ecfg, self.window
+        b = len(prompts)
+        assert b <= e.max_batch
+        lens = np.zeros((e.max_batch,), np.int32)
+        lens[:b] = [len(p) for p in prompts]
+        t = max(int(lens.max()), 1)
+        toks = np.zeros((e.max_batch, t), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, :len(p)] = np.asarray(p, np.int32)
+        cap = e.pages_per_seq * e.page_size
+        for i in range(b):
+            # stale verify appends can land up to window-1 tokens past
+            # the committed length — size for it
+            if int(lens[i]) + max_new_tokens + w > cap:
+                raise ValueError(
+                    f"prompt {i}: {int(lens[i])} + {max_new_tokens} "
+                    f"new + window {w} exceeds per-slot KV capacity "
+                    f"{cap}")
+        state = eng.new_state()
+        if e.dynamic_pages:
+            from .scheduler import PageAllocator
+            alloc = PageAllocator(e.total_pages())
+            cache, pt, sl = state
+            pt_np = np.zeros((e.max_batch, e.pages_per_seq), np.int32)
+            for i in range(b):
+                need = -(-(int(lens[i]) + max_new_tokens + w)
+                         // e.page_size)
+                pages = alloc.alloc(i, need)
+                if pages is None:
+                    raise ValueError("page pool exhausted; raise "
+                                     "num_pages")
+                pt_np[i, :need] = pages
+            state = (cache, jnp.asarray(pt_np), sl)
+        logits, state = eng.prefill(state, jnp.asarray(toks),
+                                    jnp.asarray(lens))
+        self.drafter.begin(prompts, e.max_batch)
+
+        out: List[List[int]] = [[] for _ in range(b)]
+        done = np.asarray(lens[:e.max_batch] == 0)
+        cur = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
+        # the prefill token is the first emission (mirrors generate())
+        for i in range(b):
+            if not done[i]:
+                tok = int(cur[i])
+                if eos_id is not None and tok == eos_id:
+                    done[i] = True
+                else:
+                    out[i].append(tok)
+                    if len(out[i]) >= max_new_tokens:
+                        done[i] = True
+        self.stats = {"rounds": 0, "proposed": 0, "accepted": 0}
+
+        k = w - 1
+        while not done.all():
+            active = ~done
+            drafts = self.drafter.propose(cur, k, active)
+            toksw = np.concatenate([cur[:, None], drafts],
+                                   axis=1).astype(np.int32)
+            valid = np.where(active, w, 1).astype(np.int32)
+            logits, state = eng.verify_step(
+                state, jnp.asarray(toksw), jnp.asarray(valid))
+            g = np.asarray(jnp.argmax(logits, -1).astype(jnp.int32))
+            cache, pt, seq_lens = state
+
+            committed: List[List[int]] = []
+            commit_n = np.zeros((e.max_batch,), np.int32)
+            n_acc = np.zeros((e.max_batch,), np.int32)
+            for i in range(e.max_batch):
+                if done[i] or i >= b:
+                    committed.append([])
+                    continue
+                n = 0
+                while n < k and toksw[i, n + 1] == g[i, n]:
+                    n += 1
+                n_acc[i] = n
+                committed.append([int(x) for x in toksw[i, :n + 1]])
+                commit_n[i] = n + 1
+                self.stats["proposed"] += k
+                self.stats["accepted"] += n
+                # emit the n accepted drafts + the bonus token
+                for j in range(n + 1):
+                    tok = int(g[i, j])
+                    if eos_id is not None and tok == eos_id:
+                        done[i] = True
+                        break
+                    out[i].append(tok)
+                    if len(out[i]) >= max_new_tokens:
+                        done[i] = True
+                        break
+                cur[i] = g[i, n]
+            self.stats["rounds"] += 1
+            new_lens = seq_lens + jnp.asarray(commit_n)
+            state = (cache, pt, new_lens)
+            self.drafter.commit(committed, n_acc,
+                                np.asarray(new_lens), active)
+        return out

@@ -1,0 +1,179 @@
+"""Speculative decoding: greedy spec decode must be TOKEN-IDENTICAL
+to plain greedy decode (the acceptance rule only ever commits tokens
+the target itself would have produced), for every drafter — including
+an adversarial one — and verify_step must agree with sequential
+decode steps position by position."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arcquant_tpu.config import get_model_config, QuantConfig
+from arcquant_tpu.engine import (InferenceEngine, EngineConfig,
+                                 SpeculativeEngine, NgramDrafter,
+                                 EngineDrafter)
+from arcquant_tpu.models import llama, quantized
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=False,
+                       kv_quant=False, act_scale="row",
+                       w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.125)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    eng = InferenceEngine(cfg, params, calib, qcfg, ecfg)
+    return cfg, params, calib, qcfg, eng
+
+
+def _fresh(setup, **kw):
+    cfg, params, calib, qcfg, _ = setup
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16,
+                        **kw)
+    return InferenceEngine(cfg, params, calib, qcfg, ecfg)
+
+
+PROMPTS = [[5, 17, 301, 42, 8], [100, 200, 7]]
+
+
+def test_verify_step_matches_sequential_decode(setup):
+    """verify_step's W-position logits == W sequential decode_steps
+    fed the same tokens (same int4 pool contents, same greedy
+    argmax)."""
+    _, _, _, _, eng = setup
+    toks = np.zeros((2, 8), np.int32)
+    toks[0, :5] = PROMPTS[0]
+    toks[1, :3] = PROMPTS[1]
+    lens = jnp.asarray([5, 3], jnp.int32)
+    fed = np.asarray([[9, 15, 33, 2], [4, 88, 12, 51]], np.int32)
+
+    # path A: sequential single-token decode
+    sa = eng.new_state()
+    _, sa = eng.prefill(sa, jnp.asarray(toks), lens)
+    seq_logits = []
+    act = jnp.asarray([True, True])
+    for i in range(4):
+        lg, sa = eng.decode_step(sa, jnp.asarray(fed[:, i]), act)
+        seq_logits.append(np.asarray(lg))
+
+    # path B: one verify step over all 4 tokens
+    sb = eng.new_state()
+    _, sb = eng.prefill(sb, jnp.asarray(toks), lens)
+    vlog, sb = eng.verify_step(sb, jnp.asarray(fed),
+                               jnp.asarray([4, 4]))
+    vlog = np.asarray(vlog)
+    for i in range(4):
+        assert (vlog[:, i].argmax(-1)
+                == seq_logits[i].argmax(-1)).all(), i
+        np.testing.assert_allclose(vlog[:, i], seq_logits[i],
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_verify_step_ragged_valid(setup):
+    """Rows with valid < W: logits at positions < valid match the
+    sequential decode; extra positions are ignored and seq_lens are
+    untouched (the caller commits)."""
+    _, _, _, _, eng = setup
+    toks = np.zeros((2, 8), np.int32)
+    toks[0, :5] = PROMPTS[0]
+    toks[1, :3] = PROMPTS[1]
+    lens = jnp.asarray([5, 3], jnp.int32)
+    fed = np.asarray([[9, 15, 33, 2], [4, 0, 0, 0]], np.int32)
+
+    sa = eng.new_state()
+    _, sa = eng.prefill(sa, jnp.asarray(toks), lens)
+    lg0, _ = eng.decode_step(sa, jnp.asarray(fed[:, 0]),
+                             jnp.asarray([True, True]))
+
+    sb = eng.new_state()
+    _, sb = eng.prefill(sb, jnp.asarray(toks), lens)
+    vlog, sb = eng.verify_step(sb, jnp.asarray(fed),
+                               jnp.asarray([4, 1]))
+    assert (np.asarray(vlog)[1, 0].argmax(-1)
+            == np.asarray(lg0)[1].argmax(-1))
+    assert np.asarray(sb[2]).tolist() == [5, 3]  # lens unchanged
+
+
+class GarbageDrafter:
+    """Adversarial drafter: always proposes token 0 — forces the
+    all-reject path every round."""
+
+    def begin(self, prompts, max_batch):
+        pass
+
+    def propose(self, cur, k, active):
+        return np.zeros((len(cur), k), np.int32)
+
+    def commit(self, committed, accepted, new_lens, active):
+        pass
+
+
+@pytest.mark.parametrize("window", [2, 4])
+def test_spec_garbage_drafts_token_identical(setup, window):
+    """Pure rollback test: with every draft rejected, output must
+    still equal plain greedy decode token for token."""
+    _, _, _, _, eng = setup
+    ref = eng.generate(PROMPTS, max_new_tokens=10)
+    spec = SpeculativeEngine(_fresh(setup), GarbageDrafter(),
+                             window=window)
+    got = spec.generate(PROMPTS, max_new_tokens=10)
+    assert got == ref, (got, ref)
+    assert spec.stats["accepted"] == 0
+
+
+def test_spec_self_draft_token_identical_and_accepting(setup):
+    """Draft == target model: drafts are the target's own greedy
+    tokens, so near-everything is accepted — and output is identical
+    to plain decode (token-identity does not depend on the
+    acceptance rate)."""
+    _, _, _, _, eng = setup
+    ref = eng.generate(PROMPTS, max_new_tokens=12)
+    target = _fresh(setup)
+    draft = _fresh(setup)
+    spec = SpeculativeEngine(target, EngineDrafter(draft), window=4)
+    got = spec.generate(PROMPTS, max_new_tokens=12)
+    assert got == ref, (got, ref)
+    assert spec.stats["accepted"] > 0
+    # a perfect drafter should need far fewer rounds than tokens
+    assert spec.stats["rounds"] < 12
+
+
+def test_spec_ngram_token_identical(setup):
+    """Prompt-lookup drafter on a repetitive prompt: output identical
+    to plain decode regardless of what the drafter proposes."""
+    _, _, _, _, eng = setup
+    prompts = [[1, 2, 3, 4] * 6, [7, 8, 7, 8, 7, 8]]
+    ref = eng.generate(prompts, max_new_tokens=10)
+    spec = SpeculativeEngine(_fresh(setup), NgramDrafter(), window=3)
+    got = spec.generate(prompts, max_new_tokens=10)
+    assert got == ref, (got, ref)
+
+
+def test_spec_eos_and_dynamic_pages(setup):
+    """EOS mid-window stops the row exactly where plain decode does;
+    dynamic page mode preallocates the rollback margin."""
+    _, _, _, _, eng = setup
+    ref = eng.generate(PROMPTS, max_new_tokens=10)
+    eos = ref[0][3]  # a token plain decode actually emits
+    ref_eos = eng.generate(PROMPTS, max_new_tokens=10, eos_id=eos)
+    eng_d = _fresh(setup, dynamic_pages=True, num_pages=9)
+    spec = SpeculativeEngine(eng_d, GarbageDrafter(), window=4)
+    got = spec.generate(PROMPTS, max_new_tokens=10, eos_id=eos)
+    assert got == ref_eos, (got, ref_eos)
+
+
+def test_ngram_matcher():
+    d = NgramDrafter(max_ngram=3)
+    d.begin([[1, 2, 3, 4, 1, 2, 3]], max_batch=1)
+    # context suffix (2,3) + cur 4 -> trigram (2,3,4) matches at 1..3
+    # -> propose what followed: 1, 2, 3
+    out = d.propose(np.asarray([4]), 3, np.asarray([True]))
+    assert out[0].tolist() == [1, 2, 3]
+    # no match at all -> repeat-last fallback
+    d2 = NgramDrafter()
+    d2.begin([[9, 8, 7]], max_batch=1)
+    out = d2.propose(np.asarray([6]), 2, np.asarray([True]))
+    assert out[0].tolist() == [6, 6]
