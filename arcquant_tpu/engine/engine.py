@@ -563,29 +563,41 @@ class InferenceEngine:
         return logits, (cache, pt, new_lens)
 
     def decode_scan(self, state, first_tokens, active, num_steps: int,
-                    eos_id: Optional[int] = None):
-        """Run `num_steps` greedy decode steps fully on-device
-        (lax.scan over steps, sampling inside — zero host round-trips
-        in the token loop). Slots hitting eos_id go inactive.
+                    eos_id: Optional[int] = None,
+                    sampling=None, seed: int = 0):
+        """Run `num_steps` decode steps fully on-device (lax.scan over
+        steps, sampling inside — zero host round-trips in the token
+        loop). Greedy by default; `sampling` (a static
+        sampling.SamplingParams) switches to on-device stochastic
+        sampling with the PRNG key in the scan carry. Slots hitting
+        eos_id go inactive.
 
         Returns (tokens [B, num_steps] i32 — the tokens produced at
         each step (repeats the last token after a slot retires),
         new_state)."""
         cache, pt, seq_lens = state
-        key = (num_steps, eos_id)
+        if sampling is not None and sampling.is_greedy:
+            sampling = None
+        key = (num_steps, eos_id, sampling, seed if sampling else 0)
         if key not in self._scan_jit:
             def f(qparams, cache, pt, seq_lens, first_tokens, active):
                 def body(carry, _):
-                    cache, seq_lens, toks, act = carry
+                    cache, seq_lens, toks, act, rk = carry
                     logits, cache, seq_lens = self._decode_forward(
                         qparams, cache, pt, seq_lens, toks, act)
-                    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    if sampling is None:
+                        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    else:
+                        from .sampling import sample_p
+                        rk, sk = jax.random.split(rk)
+                        nxt = sample_p(logits, sk, sampling)
                     nxt = jnp.where(act, nxt, toks)
                     if eos_id is not None:
                         act = act & (nxt != eos_id)
-                    return (cache, seq_lens, nxt, act), nxt
-                (cache2, lens2, _, _), toks = jax.lax.scan(
-                    body, (cache, seq_lens, first_tokens, active),
+                    return (cache, seq_lens, nxt, act, rk), nxt
+                (cache2, lens2, _, _, _), toks = jax.lax.scan(
+                    body, (cache, seq_lens, first_tokens, active,
+                           jax.random.PRNGKey(seed)),
                     None, length=num_steps)
                 return toks.T, cache2, lens2
             self._scan_jit[key] = jax.jit(
@@ -597,10 +609,26 @@ class InferenceEngine:
 
     # -- convenience -------------------------------------------------------
 
+    def _sample(self, logits, sampling, rng_key):
+        """argmax, or the jitted stochastic sampler (one compile per
+        static SamplingParams). Returns ([B] i32 tokens, next key)."""
+        if sampling is None or sampling.is_greedy:
+            return jnp.argmax(logits, -1).astype(jnp.int32), rng_key
+        skey = ("sample", sampling)
+        if skey not in self._scan_jit:
+            from .sampling import sample_p
+            self._scan_jit[skey] = jax.jit(
+                lambda lg, k: sample_p(lg, k, sampling))
+        rng_key, sk = jax.random.split(rng_key)
+        return self._scan_jit[skey](logits, sk), rng_key
+
     def generate(self, prompts, max_new_tokens: int,
-                 eos_id: Optional[int] = None):
-        """Greedy-decode a batch of prompts (list of 1D int arrays or
-        a [B, T] right-padded array + lens). Returns list of generated
+                 eos_id: Optional[int] = None,
+                 sampling=None, seed: int = 0):
+        """Decode a batch of prompts (list of 1D int arrays or a
+        [B, T] right-padded array + lens). Greedy by default;
+        `sampling` (sampling.SamplingParams) enables on-device
+        temperature/top-k/top-p sampling. Returns list of generated
         token lists. Simple single-batch path; use ContinuousBatcher
         for multi-request serving."""
         import numpy as np
@@ -648,7 +676,8 @@ class InferenceEngine:
                                      jnp.asarray(lens))
         out = [[] for _ in range(b)]
         done = np.asarray(lens == 0)
-        cur = jnp.argmax(logits, -1).astype(jnp.int32)
+        rk = jax.random.PRNGKey(seed)
+        cur, rk = self._sample(logits, sampling, rk)
         for _ in range(max_new_tokens):
             cur_np = np.asarray(cur)
             for i in range(b):
@@ -662,5 +691,5 @@ class InferenceEngine:
                 break
             active = jnp.asarray(~done & (np.arange(e.max_batch) < b))
             logits, state = self.decode_step(state, cur, active)
-            cur = jnp.argmax(logits, -1).astype(jnp.int32)
+            cur, rk = self._sample(logits, sampling, rk)
         return out

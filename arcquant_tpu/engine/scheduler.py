@@ -50,6 +50,10 @@ class Request:
     output: List[int] = field(default_factory=list)
     done: bool = False
     error: Optional[str] = None
+    # per-request sampling (engine/sampling.py): 0 = greedy; top_k is
+    # batcher-level (static — it shapes the jitted sampler)
+    temperature: float = 0.0
+    top_p: float = 1.0
 
     def tokens_so_far(self) -> List[int]:
         """Prompt + everything generated; what a (re-)prefill replays.
@@ -148,7 +152,8 @@ class PageAllocator:
 class ContinuousBatcher:
     """Admits requests into engine slots and steps the batch."""
 
-    def __init__(self, engine: InferenceEngine):
+    def __init__(self, engine: InferenceEngine, top_k: int = 0,
+                 seed: int = 0):
         self.engine = engine
         self.state = engine.new_state()
         e = engine.ecfg
@@ -157,6 +162,10 @@ class ContinuousBatcher:
         self.next_token = np.zeros((b,), np.int32)
         self.queue: List[Request] = []
         self.finished: List[Request] = []
+        self.top_k = top_k
+        import jax
+        self._rng = jax.random.PRNGKey(seed)
+        self._sample_jit = None
         self.allocs: Optional[List[PageAllocator]] = None
         self._stamp = itertools.count()     # admission order
         self._admitted_at: dict = {}        # slot -> stamp
@@ -188,6 +197,27 @@ class ContinuousBatcher:
 
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.slots) if s is None]
+
+    def _sample_rows(self, logits) -> np.ndarray:
+        """Per-REQUEST sampling over a [B, V] logits batch: each
+        slot's temperature/top_p ride as traced per-row data (one
+        compile total); all-greedy batches skip the sampler."""
+        temps = np.asarray([s.temperature if s else 0.0
+                            for s in self.slots], np.float32)
+        if not temps.any():
+            return np.asarray(jnp.argmax(logits, -1), np.int32)
+        import jax
+        tps = np.asarray([s.top_p if s else 1.0
+                          for s in self.slots], np.float32)
+        if self._sample_jit is None:
+            from .sampling import sample
+            tk = self.top_k
+            self._sample_jit = jax.jit(
+                lambda lg, k, t, p: sample(lg, k, t, tk, p))
+        self._rng, sk = jax.random.split(self._rng)
+        return np.asarray(self._sample_jit(
+            logits, sk, jnp.asarray(temps), jnp.asarray(tps)),
+            np.int32)
 
     def _map_pages(self, slot: int, pages: List[int]) -> None:
         """Record newly allocated pages in the host page table."""
@@ -312,7 +342,7 @@ class ContinuousBatcher:
         logits, self.state = self.engine.prefill(
             self.state, jnp.asarray(toks), jnp.asarray(lens),
             starts=jnp.asarray(starts) if starts.any() else None)
-        first = np.asarray(jnp.argmax(logits, -1), np.int32)
+        first = self._sample_rows(logits)
         for slot, req, start in joining:
             self.next_token[slot] = first[slot]
             if self.engine.ecfg.prefix_sharing:
@@ -418,7 +448,7 @@ class ContinuousBatcher:
             logits, self.state = self.engine.decode_step(
                 self.state, jnp.asarray(self.next_token),
                 jnp.asarray(active))
-            nxt = np.asarray(jnp.argmax(logits, -1), np.int32)
+            nxt = self._sample_rows(logits)
             self.next_token = np.where(active, nxt, self.next_token)
         return self.finished[before:]
 

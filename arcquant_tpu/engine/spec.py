@@ -20,6 +20,12 @@ TPU-shaped design:
   - the draft loop is one verify_step (catch-up) + one decode_scan
     (on-device lax.scan) per round, not W host round-trips.
 
+Token-identity caveat: it requires per-ROW activation scales (the
+engine default) — a token's quantization grid is then independent of
+what else shares the forward. Under a TENSOR act scale the W verify
+tokens share one scale, so spec decode is approximate there (same
+class of deviation as chunked-vs-one-shot prefill).
+
 Two drafters:
   - NgramDrafter: prompt-lookup decoding (match the context's last
     n-gram against itself, propose the continuation) — zero extra

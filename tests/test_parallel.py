@@ -553,3 +553,55 @@ def test_tp_decode_communication_contract():
     for p in ("all_gather", "ppermute", "all_to_all", "pmin",
               "reduce_scatter"):
         assert cnt[p] == 0, (p, cnt)
+
+
+def test_tp_spec_decode_and_sampling():
+    """TP engine speculative decode: token-identical to the TP
+    engine's OWN greedy generate (verify attends the same sharded
+    int4 pool the decode step reads); sampled TP decode_scan is
+    seed-reproducible and temperature-0 falls back to the greedy
+    scan."""
+    from arcquant_tpu.engine import (EngineConfig, SpeculativeEngine,
+                                     SamplingParams)
+    from arcquant_tpu.engine.spec import NgramDrafter
+    from arcquant_tpu.parallel.tp_engine import TPInferenceEngine
+    import jax.numpy as jnp
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    # per-ROW act scales: a token's quantization grid is then
+    # independent of what else shares the step, so the W-token verify
+    # reproduces the 1-token decode bit-for-bit (a TENSOR act scale
+    # legitimately couples the W tokens — spec decode under tensor
+    # scales is approximate, like chunked-vs-one-shot prefill)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    mesh = make_mesh(dp=len(jax.devices()) // 2, tp=2)
+    prompts = [[1, 2, 3, 4] * 5, [7, 8, 7, 8, 7, 8]]
+
+    eng = TPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+    ref = eng.generate(prompts, max_new_tokens=8)
+    eng2 = TPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+    spec = SpeculativeEngine(eng2, NgramDrafter(), window=3)
+    got = spec.generate(prompts, max_new_tokens=8)
+    assert got == ref, (got, ref)
+
+    # sampled sharded scan
+    toks = np.zeros((2, 20), np.int32)
+    toks[0, :20] = prompts[0]
+    toks[1, :6] = prompts[1]
+    lens = jnp.asarray([20, 6], jnp.int32)
+
+    def run(sampling, seed=5):
+        s = eng.new_state()
+        lg, s = eng.prefill(s, jnp.asarray(toks), lens)
+        first = jnp.argmax(lg, -1).astype(jnp.int32)
+        t, _ = eng.decode_scan(s, first, jnp.asarray([True, True]), 5,
+                               sampling=sampling, seed=seed)
+        return np.asarray(t)
+
+    sp = SamplingParams(temperature=0.9, top_k=8)
+    assert (run(sp) == run(sp)).all()
+    assert (run(SamplingParams(temperature=0.0)) == run(None)).all()
