@@ -153,7 +153,7 @@ class ContinuousBatcher:
     """Admits requests into engine slots and steps the batch."""
 
     def __init__(self, engine: InferenceEngine, top_k: int = 0,
-                 seed: int = 0):
+                 seed: int = 0, spec_window: int = 0, drafter=None):
         self.engine = engine
         self.state = engine.new_state()
         e = engine.ecfg
@@ -166,6 +166,19 @@ class ContinuousBatcher:
         import jax
         self._rng = jax.random.PRNGKey(seed)
         self._sample_jit = None
+        # spec_window >= 2: decode via greedy SPECULATIVE verify
+        # rounds (engine.verify_step) — each step commits 1..W tokens
+        # per slot; drafter needs a draft(seq, k) -> k tokens method
+        self.spec_window = spec_window
+        if spec_window:
+            if spec_window < 2:
+                raise ValueError("spec_window must be >= 2")
+            if drafter is None:
+                from .spec import NgramDrafter
+                drafter = NgramDrafter()
+            self.spec_stats = {"rounds": 0, "proposed": 0,
+                               "accepted": 0}
+        self.drafter = drafter
         self.allocs: Optional[List[PageAllocator]] = None
         self._stamp = itertools.count()     # admission order
         self._admitted_at: dict = {}        # slot -> stamp
@@ -193,6 +206,11 @@ class ContinuousBatcher:
     # -- admission ----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
+        if self.spec_window and req.temperature > 0:
+            raise ValueError(
+                "speculative batching is greedy-only (acceptance "
+                "compares argmax tokens); submit temperature-0 "
+                "requests or use spec_window=0")
         self.queue.append(req)
 
     def _free_slots(self) -> List[int]:
@@ -387,31 +405,34 @@ class ContinuousBatcher:
                 if s // self._slots_per_group == group}
         return max(pool, key=pool.get)
 
-    def _grow_pages(self) -> None:
+    def _grow_pages(self, ahead: int = 1) -> None:
         """Dynamic mode: before a decode step, every active slot must
-        have the page for its next append position mapped; allocate on
-        demand, preempting the YOUNGEST running sequence on pool
+        have pages mapped for append positions seq_len .. seq_len +
+        ahead - 1 (ahead = 1 for plain decode; a spec verify round
+        appends up to spec_window tokens, committed or not); allocate
+        on demand, preempting the YOUNGEST running sequence on pool
         exhaustion (not whichever slot happened to need the page)."""
         if self.allocs is None:
             return
         ps = self.engine.ecfg.page_size
+        pps = self.engine.ecfg.pages_per_seq
         _, _, seq_lens = self.state
         lens_np = np.asarray(seq_lens)
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
             have = int(np.count_nonzero(self._pt[i]))
-            if int(lens_np[i]) // ps >= have:
-                while True:
-                    pages = self._galloc(i).alloc(i, 1)
-                    if pages is not None:
-                        self._map_pages(i, pages)
-                        break
-                    victim = self._youngest(
-                        i // self._slots_per_group)
-                    self._preempt(victim)
-                    if victim == i:
-                        break       # evicted the requester itself
+            need = min((int(lens_np[i]) + ahead - 1) // ps + 1, pps)
+            while have < need and self.slots[i] is not None:
+                pages = self._galloc(i).alloc(i, 1)
+                if pages is not None:
+                    self._map_pages(i, pages)
+                    have += 1
+                    continue
+                victim = self._youngest(i // self._slots_per_group)
+                self._preempt(victim)
+                if victim == i:
+                    break           # evicted the requester itself
 
     def step(self) -> List[Request]:
         """Admit + one decode step. Returns requests finished in this
@@ -434,23 +455,79 @@ class ContinuousBatcher:
                 self._retire(i)
         # KV capacity guard: retire any sequence about to overflow its
         # page range (reference kv_cache.py:174-188 raises instead;
-        # retiring keeps the batch serving)
+        # retiring keeps the batch serving). Spec mode needs headroom
+        # for a full verify window's appends (committed or not).
+        w = self.spec_window or 1
         _, _, seq_lens = self.state
         lens_np = np.asarray(seq_lens)
         for i in list(range(len(self.slots))):
             if (self.slots[i] is not None
-                    and lens_np[i] >= self.engine.ecfg.max_seq_len - 1):
+                    and lens_np[i] >= self.engine.ecfg.max_seq_len - w):
                 self._retire(i)
-        self._grow_pages()
+        self._grow_pages(ahead=w)
         active = np.asarray([s is not None for s in self.slots])
         if active.any():
             self._push_pt()
-            logits, self.state = self.engine.decode_step(
-                self.state, jnp.asarray(self.next_token),
-                jnp.asarray(active))
-            nxt = self._sample_rows(logits)
-            self.next_token = np.where(active, nxt, self.next_token)
+            if self.spec_window:
+                self._spec_round(active)
+            else:
+                logits, self.state = self.engine.decode_step(
+                    self.state, jnp.asarray(self.next_token),
+                    jnp.asarray(active))
+                nxt = self._sample_rows(logits)
+                self.next_token = np.where(active, nxt,
+                                           self.next_token)
         return self.finished[before:]
+
+    def _spec_round(self, active: np.ndarray) -> None:
+        """One speculative verify round: draft spec_window-1 tokens
+        per active slot (prompt-lookup over prompt+output), verify all
+        in ONE multi-token engine step, commit the accepted prefix +
+        bonus. Emits the accepted drafts into each request's output
+        immediately; the bonus token becomes the pending next_token
+        (recorded at the next step's start, exactly like plain
+        decode)."""
+        w, k = self.spec_window, self.spec_window - 1
+        b = self.engine.ecfg.max_batch
+        cur = self.next_token
+        drafts = np.zeros((b, k), np.int32)
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            drafts[i] = self.drafter.draft(
+                req.tokens_so_far() + [int(cur[i])], k)
+        toksw = np.concatenate([cur[:, None].astype(np.int32),
+                                drafts], axis=1)
+        valid = np.where(active, w, 1).astype(np.int32)
+        logits, self.state = self.engine.verify_step(
+            self.state, jnp.asarray(toksw), jnp.asarray(valid))
+        g = np.asarray(jnp.argmax(logits, -1), np.int32)
+        cache, pt, seq_lens = self.state
+        commit = np.zeros((b,), np.int32)
+        for i in range(b):
+            req = self.slots[i]
+            if req is None or not active[i]:
+                continue
+            n = 0
+            while n < k and toksw[i, n + 1] == g[i, n]:
+                n += 1
+            commit[i] = n + 1
+            self.spec_stats["proposed"] += k
+            self.spec_stats["accepted"] += n
+            # accepted drafts are final now; the bonus g[i, n] waits
+            # as the pending token
+            for j in range(n):
+                tok = int(g[i, j])
+                if req.eos_id is not None and tok == req.eos_id:
+                    self._retire(i)
+                    break
+                req.output.append(tok)
+                if len(req.output) >= req.max_new_tokens:
+                    self._retire(i)
+                    break
+            self.next_token[i] = g[i, n]
+        self.spec_stats["rounds"] += 1
+        self.state = (cache, pt, seq_lens + jnp.asarray(commit))
 
     def run(self) -> List[Request]:
         """Drain queue + slots to completion."""

@@ -59,18 +59,23 @@ class NgramDrafter:
         self.ctx = [list(p) for p in prompts]
         self.ctx += [[] for _ in range(max_batch - len(self.ctx))]
 
+    def draft(self, seq: List[int], k: int) -> List[int]:
+        """k draft tokens continuing `seq` (stateless helper — also
+        the ContinuousBatcher spec-mode entry point)."""
+        out = [seq[-1]] * k              # fallback: repeat last token
+        hit = self._match(seq)
+        if hit is not None:
+            got = seq[hit:hit + k]
+            out[:len(got)] = got
+        return out
+
     def propose(self, cur: np.ndarray, k: int,
                 active: np.ndarray) -> np.ndarray:
         out = np.zeros((len(self.ctx), k), np.int32)
         for b, c in enumerate(self.ctx):
             if not active[b]:
                 continue
-            seq = c + [int(cur[b])]
-            out[b, :] = seq[-1]          # fallback: repeat last token
-            hit = self._match(seq)
-            if hit is not None:
-                got = seq[hit:hit + k]
-                out[b, :len(got)] = got
+            out[b, :] = self.draft(c + [int(cur[b])], k)
         return out
 
     def _match(self, seq: List[int]) -> Optional[int]:

@@ -12,7 +12,8 @@ import pytest
 from arcquant_tpu.config import get_model_config, QuantConfig
 from arcquant_tpu.engine import (InferenceEngine, EngineConfig,
                                  SpeculativeEngine, NgramDrafter,
-                                 EngineDrafter)
+                                 EngineDrafter,
+                                 Request as Request_)
 from arcquant_tpu.models import llama, quantized
 
 
@@ -177,3 +178,35 @@ def test_ngram_matcher():
     d2.begin([[9, 8, 7]], max_batch=1)
     out = d2.propose(np.asarray([6]), 2, np.asarray([True]))
     assert out[0].tolist() == [6, 6]
+
+
+def test_batcher_speculative_matches_plain(setup):
+    """ContinuousBatcher in speculative mode (dynamic pages, more
+    requests than slots): outputs must equal the plain batcher's
+    greedy outputs request for request, with drafts actually
+    accepted on the repetitive prompts."""
+    from arcquant_tpu.engine import ContinuousBatcher
+    reqs = lambda: [  # noqa: E731
+        Request_(prompt=[1, 2, 3, 4] * 5, max_new_tokens=8),
+        Request_(prompt=[7, 8, 7, 8, 7, 8], max_new_tokens=10),
+        Request_(prompt=[5, 17, 301, 42, 8], max_new_tokens=6),
+    ]
+    def run(spec_window):
+        eng = _fresh(setup, dynamic_pages=True, num_pages=9)
+        bt = ContinuousBatcher(eng, spec_window=spec_window)
+        for r in reqs():
+            bt.submit(r)
+        done = bt.run()
+        return {r.prompt[0]: r.output for r in done}, bt
+    plain, _ = run(0)
+    spec, bt = run(3)
+    assert spec == plain, (spec, plain)
+    assert bt.spec_stats["accepted"] > 0
+    assert bt.spec_stats["rounds"] > 0
+
+
+def test_batcher_spec_rejects_sampled_requests(setup):
+    from arcquant_tpu.engine import ContinuousBatcher
+    bt = ContinuousBatcher(_fresh(setup), spec_window=4)
+    with pytest.raises(ValueError):
+        bt.submit(Request_(prompt=[1, 2], temperature=0.7))
