@@ -1,0 +1,160 @@
+"""HTTP serving front over the continuous batcher.
+
+The reference ships only offline drivers (model/main.py,
+benchmarks/benchmark_e2e_arc.py); this is the online half a serving
+framework needs: a single engine-stepping thread drains a thread-safe
+submission queue into the ContinuousBatcher (admission, paged KV,
+preemption, per-request sampling or speculative decode all come from
+scheduler.py), and a stdlib ThreadingHTTPServer exposes it.
+
+Endpoints:
+  POST /v1/completions   {"prompt": [token ids] | "text",
+                          "max_tokens": N, "temperature": t,
+                          "top_p": p, "eos_id": id}
+                         -> {"tokens": [...], "text": ...?,
+                             "request_id": ...}
+  GET  /health           -> {"ok": true, "stats": {...}}
+
+Design: exactly ONE thread touches the engine/batcher (JAX dispatch
+and the batcher's host state are not thread-safe); HTTP workers only
+enqueue and wait on per-request events. String prompts need a
+tokenizer (a local HF dir — zero-egress environments pass token ids).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .scheduler import ContinuousBatcher, Request
+
+
+class ServingLoop:
+    """Engine-stepping thread around a ContinuousBatcher."""
+
+    def __init__(self, batcher: ContinuousBatcher):
+        self.batcher = batcher
+        self._inbox: "queue.Queue[Request]" = queue.Queue()
+        self._events: dict = {}          # request_id -> Event
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._steps = 0
+        self._thread.start()
+
+    def submit(self, req: Request) -> threading.Event:
+        ev = threading.Event()
+        with self._lock:
+            self._events[req.request_id] = ev
+        self._inbox.put(req)
+        return ev
+
+    def complete(self, req: Request,
+                 timeout: Optional[float] = None) -> Request:
+        """Submit and block until the request finishes."""
+        ev = self.submit(req)
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {req.request_id} timed out")
+        return req
+
+    def _run(self):
+        idle_sleep = 0.002
+        while not self._stop.is_set():
+            moved = False
+            while True:
+                try:
+                    self.batcher.submit(self._inbox.get_nowait())
+                    moved = True
+                except queue.Empty:
+                    break
+            busy = (self.batcher.queue
+                    or any(s is not None for s in self.batcher.slots))
+            if busy:
+                done = self.batcher.step()
+                self._steps += 1
+                for r in done:
+                    with self._lock:
+                        ev = self._events.pop(r.request_id, None)
+                    if ev is not None:
+                        ev.set()
+            elif not moved:
+                time.sleep(idle_sleep)
+
+    def stats(self) -> dict:
+        b = self.batcher
+        out = {"steps": self._steps,
+               "queued": len(b.queue),
+               "running": sum(s is not None for s in b.slots),
+               "finished": len(b.finished)}
+        if b.spec_window:
+            out["spec"] = dict(b.spec_stats)
+        return out
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
+def make_server(loop: ServingLoop, host: str = "127.0.0.1",
+                port: int = 8000, tokenizer=None,
+                default_max_tokens: int = 128) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; call .serve_forever()."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):        # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"ok": True, "stats": loop.stats()})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/completions":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body["prompt"]
+                if isinstance(prompt, str):
+                    if tokenizer is None:
+                        self._json(400, {"error":
+                                         "string prompts need a "
+                                         "tokenizer; pass token ids"})
+                        return
+                    prompt = tokenizer.encode(prompt)
+                req = Request(
+                    prompt=[int(t) for t in prompt],
+                    max_new_tokens=int(body.get("max_tokens",
+                                                default_max_tokens)),
+                    eos_id=body.get("eos_id"),
+                    temperature=float(body.get("temperature", 0.0)),
+                    top_p=float(body.get("top_p", 1.0)))
+                loop.complete(req, timeout=body.get("timeout"))
+                out = {"request_id": req.request_id,
+                       "tokens": req.output}
+                if req.error:
+                    out["error"] = req.error
+                if tokenizer is not None:
+                    out["text"] = tokenizer.decode(req.output)
+                self._json(200, out)
+            except (KeyError, ValueError, TypeError) as e:
+                self._json(400, {"error": str(e)})
+            except TimeoutError as e:
+                self._json(504, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
