@@ -609,6 +609,62 @@ class InferenceEngine:
 
     # -- convenience -------------------------------------------------------
 
+    def _pad_prompts(self, prompts):
+        """Right-pad a prompt batch to [max_batch, T]. Accepts a list
+        of 1D int sequences or a [B, T] array. Returns (tokens np
+        [max_batch, T], lens np [max_batch], b = real batch)."""
+        import numpy as np
+        if isinstance(prompts, (list, tuple)):
+            b = len(prompts)
+            lens_b = [len(p) for p in prompts]
+            t = max(max(lens_b), 1)
+            toks = np.zeros((b, t), np.int32)
+            for i, p in enumerate(prompts):
+                toks[i, :len(p)] = np.asarray(p, np.int32)
+        else:
+            toks = np.asarray(prompts, np.int32)
+            b = toks.shape[0]
+            lens_b = [toks.shape[1]] * b
+        e = self.ecfg
+        assert b <= e.max_batch
+        if b < e.max_batch:
+            toks = np.pad(toks, ((0, e.max_batch - b), (0, 0)))
+        lens = np.zeros((e.max_batch,), np.int32)
+        lens[:b] = lens_b
+        return toks, lens, b
+
+    def _alloc_prompt_pages(self, state, lens, b: int,
+                            max_new_tokens: int, margin: int = 0):
+        """Dynamic-page mode: map each row's worst-case page span up
+        front (prompt + generation + `margin` stale-append headroom —
+        speculative verify writes up to window-1 uncommitted tokens
+        past the committed length). No-op under the static layout."""
+        e = self.ecfg
+        if not e.dynamic_pages:
+            return state
+        from .scheduler import PageAllocator
+        alloc = PageAllocator(e.total_pages())
+        cache, pt, sl = state
+        import numpy as np
+        pt_np = np.zeros((e.max_batch, e.pages_per_seq), np.int32)
+        for i in range(b):
+            total = int(lens[i]) + max_new_tokens + margin
+            need = -(-total // e.page_size)
+            if need > e.pages_per_seq:
+                raise ValueError(
+                    f"prompt {i}: {int(lens[i])} + {max_new_tokens} "
+                    f"new + margin {margin} tokens exceed "
+                    f"pages_per_seq={e.pages_per_seq} * "
+                    f"page_size={e.page_size}")
+            pages = alloc.alloc(i, need)
+            if pages is None:
+                raise ValueError(
+                    f"page pool exhausted at row {i}: "
+                    f"{e.total_pages() - 1} usable pages; raise "
+                    "num_pages or use ContinuousBatcher")
+            pt_np[i, :need] = pages
+        return (cache, jnp.asarray(pt_np), sl)
+
     def _sample(self, logits, sampling, rng_key):
         """argmax, or the jitted stochastic sampler (one compile per
         static SamplingParams). Returns ([B] i32 tokens, next key)."""
@@ -632,46 +688,13 @@ class InferenceEngine:
         token lists. Simple single-batch path; use ContinuousBatcher
         for multi-request serving."""
         import numpy as np
-        if isinstance(prompts, (list, tuple)):
-            lens = np.asarray([len(p) for p in prompts], np.int32)
-            t = max(int(lens.max()), 1)
-            toks = np.zeros((len(prompts), t), np.int32)
-            for i, p in enumerate(prompts):
-                toks[i, :len(p)] = np.asarray(p, np.int32)
-        else:
-            toks, lens = np.asarray(prompts), None
-            lens = np.asarray([toks.shape[1]] * toks.shape[0], np.int32)
-        b = toks.shape[0]
+        toks, lens, b = self._pad_prompts(prompts)
         e = self.ecfg
-        assert b <= e.max_batch
-        if b < e.max_batch:
-            toks = np.pad(toks, ((0, e.max_batch - b), (0, 0)))
-            lens = np.pad(lens, (0, e.max_batch - b))
-        state = self.new_state()
-        if e.dynamic_pages:
-            # one-shot batch: allocate each row's worst-case page span
-            # up front (the ContinuousBatcher owns incremental growth;
-            # round-2 VERDICT weak #10 — generate() used to raise here)
-            from .scheduler import PageAllocator
-            alloc = PageAllocator(e.total_pages())
-            cache, pt, sl = state
-            pt_np = np.zeros((e.max_batch, e.pages_per_seq), np.int32)
-            for i in range(b):
-                need = -(-(int(lens[i]) + max_new_tokens)
-                         // e.page_size)
-                if need > e.pages_per_seq:
-                    raise ValueError(
-                        f"prompt {i}: {int(lens[i])} + "
-                        f"{max_new_tokens} tokens exceed pages_per_seq"
-                        f"={e.pages_per_seq} * page_size={e.page_size}")
-                pages = alloc.alloc(i, need)
-                if pages is None:
-                    raise ValueError(
-                        f"page pool exhausted at row {i}: "
-                        f"{e.total_pages() - 1} usable pages; raise "
-                        "num_pages or use ContinuousBatcher")
-                pt_np[i, :need] = pages
-            state = (cache, jnp.asarray(pt_np), sl)
+        # one-shot batch: allocate each row's worst-case page span up
+        # front (the ContinuousBatcher owns incremental growth;
+        # round-2 VERDICT weak #10 — generate() used to raise here)
+        state = self._alloc_prompt_pages(self.new_state(), lens, b,
+                                         max_new_tokens)
         logits, state = self.prefill(state, jnp.asarray(toks),
                                      jnp.asarray(lens))
         out = [[] for _ in range(b)]

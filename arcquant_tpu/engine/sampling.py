@@ -57,9 +57,10 @@ def sample(logits: jax.Array, key: jax.Array, temperature=1.0,
         probs = jax.nn.softmax(x, -1)
         sp = jnp.sort(probs, -1)[:, ::-1]
         # keep the smallest prefix of the sorted probs reaching top_p
-        # mass (exclusive cumsum: the top-1 token always survives)
+        # mass; the top-1 token is kept UNCONDITIONALLY (HF
+        # min_tokens_to_keep=1 — top_p <= 0 must not mask everything)
         prev = jnp.cumsum(sp, -1) - sp
-        keep = prev < tp[:, None]
+        keep = (prev < tp[:, None]).at[:, 0].set(True)
         cutoff = jnp.min(jnp.where(keep, sp, jnp.inf), -1,
                          keepdims=True)
         x = jnp.where(probs < cutoff, -jnp.inf, x)

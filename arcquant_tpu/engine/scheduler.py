@@ -494,8 +494,10 @@ class ContinuousBatcher:
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
-            drafts[i] = self.drafter.draft(
-                req.tokens_so_far() + [int(cur[i])], k)
+            # step() already recorded the pending token into
+            # req.output, so tokens_so_far() ENDS with cur[i] —
+            # appending it again would corrupt the suffix n-gram
+            drafts[i] = self.drafter.draft(req.tokens_so_far(), k)
         toksw = np.concatenate([cur[:, None].astype(np.int32),
                                 drafts], axis=1)
         valid = np.where(active, w, 1).astype(np.int32)

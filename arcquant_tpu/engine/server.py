@@ -44,9 +44,13 @@ class ServingLoop:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._steps = 0
+        self._done_total = 0
+        self.error: Optional[str] = None  # fatal engine-thread error
         self._thread.start()
 
     def submit(self, req: Request) -> threading.Event:
+        if self.error is not None:
+            raise RuntimeError(f"serving loop is down: {self.error}")
         ev = threading.Event()
         with self._lock:
             self._events[req.request_id] = ev
@@ -61,26 +65,67 @@ class ServingLoop:
             raise TimeoutError(f"request {req.request_id} timed out")
         return req
 
+    def _signal(self, req: Request):
+        with self._lock:
+            ev = self._events.pop(req.request_id, None)
+        if ev is not None:
+            ev.set()
+
     def _run(self):
         idle_sleep = 0.002
         while not self._stop.is_set():
             moved = False
             while True:
                 try:
-                    self.batcher.submit(self._inbox.get_nowait())
-                    moved = True
+                    req = self._inbox.get_nowait()
                 except queue.Empty:
                     break
+                moved = True
+                try:
+                    self.batcher.submit(req)
+                except ValueError as e:
+                    # per-request validation error (e.g. sampled
+                    # request on a spec-mode batcher): fail THIS
+                    # request, keep serving
+                    req.error = str(e)
+                    req.done = True
+                    self._signal(req)
             busy = (self.batcher.queue
                     or any(s is not None for s in self.batcher.slots))
             if busy:
-                done = self.batcher.step()
+                try:
+                    done = self.batcher.step()
+                except Exception as e:            # noqa: BLE001
+                    # engine failure is fatal for in-flight state —
+                    # fail every waiting request loudly instead of
+                    # hanging their clients forever
+                    self.error = repr(e)
+                    for s in self.batcher.slots:
+                        if s is not None:
+                            s.error = s.error or self.error
+                    pend = (list(self.batcher.queue)
+                            + [s for s in self.batcher.slots
+                               if s is not None])
+                    while True:               # never-admitted waiters
+                        try:
+                            pend.append(self._inbox.get_nowait())
+                        except queue.Empty:
+                            break
+                    for r in pend:
+                        r.error = r.error or self.error
+                        self._signal(r)
+                    with self._lock:          # belt and braces
+                        for ev in self._events.values():
+                            ev.set()
+                        self._events.clear()
+                    return
                 self._steps += 1
+                self._done_total += len(done)
                 for r in done:
-                    with self._lock:
-                        ev = self._events.pop(r.request_id, None)
-                    if ev is not None:
-                        ev.set()
+                    self._signal(r)
+                # the batcher archives every finished Request; a
+                # long-running server must not accumulate them
+                self.batcher.finished.clear()
             elif not moved:
                 time.sleep(idle_sleep)
 
@@ -89,7 +134,7 @@ class ServingLoop:
         out = {"steps": self._steps,
                "queued": len(b.queue),
                "running": sum(s is not None for s in b.slots),
-               "finished": len(b.finished)}
+               "finished": self._done_total}
         if b.spec_window:
             out["spec"] = dict(b.spec_stats)
         return out
@@ -118,7 +163,11 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/health":
-                self._json(200, {"ok": True, "stats": loop.stats()})
+                ok = loop.error is None
+                out = {"ok": ok, "stats": loop.stats()}
+                if not ok:
+                    out["error"] = loop.error
+                self._json(200 if ok else 503, out)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -156,5 +205,7 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                 self._json(400, {"error": str(e)})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
+            except RuntimeError as e:         # serving loop is down
+                self._json(503, {"error": str(e)})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -59,13 +59,14 @@ class NgramDrafter:
         self.ctx = [list(p) for p in prompts]
         self.ctx += [[] for _ in range(max_batch - len(self.ctx))]
 
-    def draft(self, seq: List[int], k: int) -> List[int]:
+    def draft(self, seq, k: int) -> List[int]:
         """k draft tokens continuing `seq` (stateless helper — also
-        the ContinuousBatcher spec-mode entry point)."""
-        out = [seq[-1]] * k              # fallback: repeat last token
-        hit = self._match(seq)
+        the ContinuousBatcher spec-mode entry point; runs every
+        decode round, so the match is numpy-vectorized)."""
+        out = [int(seq[-1])] * k         # fallback: repeat last token
+        hit = self._match(np.asarray(seq, np.int64))
         if hit is not None:
-            got = seq[hit:hit + k]
+            got = [int(t) for t in seq[hit:hit + k]]
             out[:len(got)] = got
         return out
 
@@ -78,15 +79,19 @@ class NgramDrafter:
             out[b, :] = self.draft(c + [int(cur[b])], k)
         return out
 
-    def _match(self, seq: List[int]) -> Optional[int]:
+    def _match(self, seq: np.ndarray) -> Optional[int]:
         """Index just past the most recent earlier occurrence of the
-        longest matching suffix n-gram, or None."""
+        longest matching suffix n-gram, or None. Vectorized: O(n·L)
+        numpy compares per n, no Python-level window scan."""
         L = len(seq)
         for n in range(min(self.max_ngram, L - 1), 0, -1):
             pat = seq[L - n:]
-            for s in range(L - n - 1, -1, -1):
-                if seq[s:s + n] == pat:
-                    return s + n
+            ok = np.ones(L - n, bool)    # starts 0..L-n-1 (not the
+            for j in range(n):           # suffix itself)
+                ok &= seq[j:L - n + j] == pat[j]
+            hits = np.flatnonzero(ok)
+            if hits.size:
+                return int(hits[-1]) + n
         return None
 
     def commit(self, committed: List[List[int]], accepted: np.ndarray,
@@ -119,12 +124,7 @@ class EngineDrafter:
     def begin(self, prompts: Sequence[Sequence[int]], max_batch: int):
         e = self.eng.ecfg
         assert max_batch <= e.max_batch
-        lens = np.zeros((e.max_batch,), np.int32)
-        lens[:len(prompts)] = [len(p) for p in prompts]
-        t = max(int(lens.max()), 1)
-        toks = np.zeros((e.max_batch, t), np.int32)
-        for i, p in enumerate(prompts):
-            toks[i, :len(p)] = np.asarray(p, np.int32)
+        toks, lens, _ = self.eng._pad_prompts(list(prompts))
         state = self.eng.new_state()
         _, self.state = self.eng.prefill(state, jnp.asarray(toks),
                                          jnp.asarray(lens))
@@ -196,13 +196,7 @@ class SpeculativeEngine:
                  eos_id: Optional[int] = None) -> List[List[int]]:
         eng, e, w = self.eng, self.eng.ecfg, self.window
         b = len(prompts)
-        assert b <= e.max_batch
-        lens = np.zeros((e.max_batch,), np.int32)
-        lens[:b] = [len(p) for p in prompts]
-        t = max(int(lens.max()), 1)
-        toks = np.zeros((e.max_batch, t), np.int32)
-        for i, p in enumerate(prompts):
-            toks[i, :len(p)] = np.asarray(p, np.int32)
+        toks, lens, _ = eng._pad_prompts(list(prompts))
         cap = e.pages_per_seq * e.page_size
         for i in range(b):
             # stale verify appends can land up to window-1 tokens past
@@ -212,21 +206,8 @@ class SpeculativeEngine:
                     f"prompt {i}: {int(lens[i])} + {max_new_tokens} "
                     f"new + window {w} exceeds per-slot KV capacity "
                     f"{cap}")
-        state = eng.new_state()
-        if e.dynamic_pages:
-            from .scheduler import PageAllocator
-            alloc = PageAllocator(e.total_pages())
-            cache, pt, sl = state
-            pt_np = np.zeros((e.max_batch, e.pages_per_seq), np.int32)
-            for i in range(b):
-                need = -(-(int(lens[i]) + max_new_tokens + w)
-                         // e.page_size)
-                pages = alloc.alloc(i, need)
-                if pages is None:
-                    raise ValueError("page pool exhausted; raise "
-                                     "num_pages")
-                pt_np[i, :need] = pages
-            state = (cache, jnp.asarray(pt_np), sl)
+        state = eng._alloc_prompt_pages(eng.new_state(), lens, b,
+                                        max_new_tokens, margin=w)
         logits, state = eng.prefill(state, jnp.asarray(toks),
                                     jnp.asarray(lens))
         self.drafter.begin(prompts, e.max_batch)

@@ -157,9 +157,12 @@ class PPInferenceEngine(InferenceEngine):
     # -- relay bodies (run inside shard_map) --------------------------------
 
     def _stage_layers(self, stages, cidx, x, cos, sin, cache, pt,
-                      append_pos, attn_lens, step: int, is_decode):
+                      append_pos, attn_lens, step: int, mode: str):
         """Run this stage's L/pp layers on x, masking appends to the
-        active stage (s == step). Returns (x, new local cache)."""
+        active stage (s == step). mode: "prefill" (flash over the
+        current chunk), "decode" (paged 1-token), or "verify"
+        (paged flash-prefill over W tokens — attn_lens is
+        (q_starts, kv_lens)). Returns (x, new local cache)."""
         cfg, qcfg = self.cfg, self.qcfg
         s = jax.lax.axis_index("pp")
         b, t, d = x.shape
@@ -179,9 +182,13 @@ class PPInferenceEngine(InferenceEngine):
             tmp = paged.append_kv(tmp, 0, k_r, v, pt, ap)
             codes[j] = tmp.codes[0][None]
             params[j] = tmp.params[0][None]
-            if is_decode:
+            if mode == "decode":
                 attn = paged_decode(q[:, 0], tmp, 0, pt,
                                     attn_lens)[:, None]
+            elif mode == "verify":
+                from ..kernels.paged_decode import paged_prefill
+                starts, kv_lens = attn_lens
+                attn = paged_prefill(q, tmp, 0, pt, starts, kv_lens)
             else:
                 attn = flash_attention(q, k_r, v)
             x = x + _o_proj(cfg, p, attn.astype(dt), lc, qcfg, b, t, dt)
@@ -190,9 +197,10 @@ class PPInferenceEngine(InferenceEngine):
         return x, paged.PagedKVCache(tuple(codes), tuple(params))
 
     def _relay(self, final_norm, head, stages, cidx, cache, pt, x,
-               cos, sin, append_pos, attn_lens, last_idx, is_decode):
+               cos, sin, append_pos, attn_lens, last_idx, mode):
         """pp relay steps: activation ppermutes stage-to-stage; the
-        last stage computes logits (psum-broadcast)."""
+        last stage computes logits (psum-broadcast). last_idx=None
+        (verify mode) returns every position's logits [B, T, V]."""
         pp = self.pp
         fwd = [(j, j + 1) for j in range(pp - 1)]
         s = jax.lax.axis_index("pp")
@@ -203,13 +211,18 @@ class PPInferenceEngine(InferenceEngine):
             xs = x if step == 0 else carry
             xs, cache = self._stage_layers(
                 stages, cidx, xs, cos, sin, cache, pt, append_pos,
-                attn_lens, step, is_decode)
+                attn_lens, step, mode)
             if step == pp - 1:
                 h = llama.rms_norm(xs, final_norm, cfg.rms_eps)
-                last = jnp.take_along_axis(
-                    h, last_idx[:, None, None].astype(jnp.int32)
-                    .repeat(h.shape[-1], -1), axis=1)[:, 0]
-                lg = self._head_logits_local(head, last)
+                if last_idx is None:
+                    b, t, _ = h.shape
+                    lg = self._head_logits_local(
+                        head, h.reshape(b * t, -1)).reshape(b, t, -1)
+                else:
+                    last = jnp.take_along_axis(
+                        h, last_idx[:, None, None].astype(jnp.int32)
+                        .repeat(h.shape[-1], -1), axis=1)[:, 0]
+                    lg = self._head_logits_local(head, last)
                 logits = jnp.where(s == pp - 1, lg, 0.0)
             if pp > 1:
                 carry = jax.lax.ppermute(xs, "pp", fwd)
@@ -235,7 +248,26 @@ class PPInferenceEngine(InferenceEngine):
         last_idx = jnp.maximum(lens - 1, 0)
         logits, cache = self._relay(
             final_norm, head, stages, cidx, cache, pt, x, cos, sin,
-            append_pos, None, last_idx, False)
+            append_pos, None, last_idx, "prefill")
+        return logits, cache
+
+    def _verify_local(self, embed, final_norm, head, stages, cidx,
+                      cache, pt, toks, lens, start):
+        """Speculative verify relay: W tokens per row append at
+        absolute positions start..lens-1 and attend over the paged
+        pool via the flash-prefill kernel; logits for ALL W positions
+        (engine.verify_step contract)."""
+        cfg = self.cfg
+        b, t = toks.shape
+        positions = start[:, None] + jnp.arange(t)[None, :]
+        cos, sin = llama.rope_cos_sin(cfg, positions)
+        append_pos = jnp.where(positions < lens[:, None], positions,
+                               -1)
+        kv_lens = jnp.minimum(lens, start + t)
+        x = embed[toks]
+        logits, cache = self._relay(
+            final_norm, head, stages, cidx, cache, pt, x, cos, sin,
+            append_pos, (start, kv_lens), None, "verify")
         return logits, cache
 
     def _decode_local(self, embed, final_norm, head, stages, cidx,
@@ -249,7 +281,7 @@ class PPInferenceEngine(InferenceEngine):
         last_idx = jnp.zeros_like(seq_lens)
         logits, cache = self._relay(
             final_norm, head, stages, cidx, cache, pt, x, cos, sin,
-            append_pos, new_lens, last_idx, True)
+            append_pos, new_lens, last_idx, "decode")
         return logits, cache, new_lens
 
     # -- public steps --------------------------------------------------------
@@ -296,25 +328,55 @@ class PPInferenceEngine(InferenceEngine):
             *self._common_args(cache, pt), tokens, seq_lens, active)
         return logits, (cache, pt, new_lens)
 
-    def decode_scan(self, state, first_tokens, active, num_steps,
-                    eos_id=None):
+    def verify_step(self, state, tokens, valid):
+        """Speculative multi-token verify under pp (same contract as
+        InferenceEngine.verify_step; logits relay through the last
+        stage like every step, seq_lens unchanged — caller commits)."""
         cache, pt, seq_lens = state
-        key = (num_steps, eos_id)
+        b, w = tokens.shape
+        key = ("verify", b, w)
+        if key not in self._prefill_jit:
+            f = shard_map(self._verify_local, mesh=self.mesh,
+                          in_specs=self._common_specs() + (P(), P(),
+                                                           P()),
+                          out_specs=(P(), self._cache_spec),
+                          check_vma=False)
+            self._prefill_jit[key] = jax.jit(f, donate_argnums=(5,))
+        valid = jnp.asarray(valid, jnp.int32)
+        logits, cache = self._prefill_jit[key](
+            *self._common_args(cache, pt), tokens,
+            seq_lens + valid, seq_lens)
+        return logits, (cache, pt, seq_lens)
+
+    def decode_scan(self, state, first_tokens, active, num_steps,
+                    eos_id=None, sampling=None, seed=0):
+        cache, pt, seq_lens = state
+        if sampling is not None and sampling.is_greedy:
+            sampling = None
+        key = (num_steps, eos_id, sampling, seed if sampling else 0)
         if key not in self._scan_jit:
             def scan_local(embed, final_norm, head, stages, cidx,
                            cache, pt, first, seq_lens, act0):
+                # every pp shard sees the SAME psum-broadcast logits
+                # and must draw the same token: replicated key
+                rk0 = jax.random.PRNGKey(seed)
                 def body(carry, _):
-                    cache, lens, toks, act = carry
+                    cache, lens, toks, act, rk = carry
                     logits, cache, lens = self._decode_local(
                         embed, final_norm, head, stages, cidx, cache,
                         pt, toks, lens, act)
-                    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    if sampling is None:
+                        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    else:
+                        from ..engine.sampling import sample_p
+                        rk, sk = jax.random.split(rk)
+                        nxt = sample_p(logits, sk, sampling)
                     nxt = jnp.where(act, nxt, toks)
                     if eos_id is not None:
                         act = act & (nxt != eos_id)
-                    return (cache, lens, nxt, act), nxt
-                (cache2, lens2, _, _), toks = jax.lax.scan(
-                    body, (cache, seq_lens, first, act0), None,
+                    return (cache, lens, nxt, act, rk), nxt
+                (cache2, lens2, _, _, _), toks = jax.lax.scan(
+                    body, (cache, seq_lens, first, act0, rk0), None,
                     length=num_steps)
                 return toks.T, cache2, lens2
 

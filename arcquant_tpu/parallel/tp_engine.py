@@ -534,9 +534,14 @@ class TPInferenceEngine(InferenceEngine):
         if key not in self._scan_jit:
             def scan_local(embed, final_norm, head, lparams, cache,
                            pt, first, seq_lens, act0):
-                rk0 = jax.random.fold_in(
-                    jax.random.PRNGKey(seed),
-                    jax.lax.axis_index("dp"))
+                # fold the dp index ONLY when the batch is actually
+                # dp-sharded: dp-replicated shards (dpax=None) must
+                # draw identical tokens or their "replicated" caches
+                # diverge; dp-less meshes have no "dp" axis to index
+                rk0 = jax.random.PRNGKey(seed)
+                if sampling is not None and self.dpax is not None:
+                    rk0 = jax.random.fold_in(
+                        rk0, jax.lax.axis_index(self.dpax))
                 def body(carry, _):
                     cache, lens, toks, act, rk = carry
                     logits, cache, lens = self._decode_local(

@@ -605,3 +605,49 @@ def test_tp_spec_decode_and_sampling():
     sp = SamplingParams(temperature=0.9, top_k=8)
     assert (run(sp) == run(sp)).all()
     assert (run(SamplingParams(temperature=0.0)) == run(None)).all()
+
+
+def test_pp_spec_decode_and_sampling():
+    """PP engine speculative decode: token-identical to the PP
+    engine's own greedy generate (verify relays W tokens through the
+    per-stage pools via paged flash-prefill); sampled pp decode_scan
+    is seed-reproducible and temperature-0 equals the greedy scan."""
+    from arcquant_tpu.engine import (EngineConfig, SpeculativeEngine,
+                                     SamplingParams)
+    from arcquant_tpu.engine.spec import NgramDrafter
+    from arcquant_tpu.parallel.pp_engine import PPInferenceEngine
+    from jax.sharding import Mesh
+    import jax.numpy as jnp
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("pp",))
+    prompts = [[1, 2, 3, 4] * 5, [7, 8, 7, 8, 7, 8]]
+
+    eng = PPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+    ref = eng.generate(prompts, max_new_tokens=8)
+    eng2 = PPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+    spec = SpeculativeEngine(eng2, NgramDrafter(), window=3)
+    got = spec.generate(prompts, max_new_tokens=8)
+    assert got == ref, (got, ref)
+
+    toks = np.zeros((2, 20), np.int32)
+    toks[0, :20] = prompts[0]
+    toks[1, :6] = prompts[1]
+    lens = jnp.asarray([20, 6], jnp.int32)
+
+    def run(sampling, seed=5):
+        s = eng.new_state()
+        lg, s = eng.prefill(s, jnp.asarray(toks), lens)
+        first = jnp.argmax(lg, -1).astype(jnp.int32)
+        t, _ = eng.decode_scan(s, first, jnp.asarray([True, True]), 5,
+                               sampling=sampling, seed=seed)
+        return np.asarray(t)
+
+    sp = SamplingParams(temperature=0.9, top_k=8)
+    assert (run(sp) == run(sp)).all()
+    assert (run(SamplingParams(temperature=0.0)) == run(None)).all()

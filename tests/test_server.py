@@ -125,3 +125,39 @@ def test_http_speculative_server(setup):
     finally:
         srv.shutdown()
         loop.shutdown()
+
+
+def test_serving_loop_survives_bad_request(setup):
+    """A request the batcher rejects (sampled request on a spec-mode
+    batcher) must fail THAT request and leave the loop serving."""
+    eng = _engine(setup)
+    loop = ServingLoop(ContinuousBatcher(eng, spec_window=3))
+    try:
+        bad = Request(prompt=[1, 2, 3], max_new_tokens=4,
+                      temperature=0.9)
+        loop.complete(bad, timeout=60)
+        assert bad.error and "greedy-only" in bad.error
+        ok = Request(prompt=[5, 17, 301], max_new_tokens=4)
+        loop.complete(ok, timeout=300)
+        assert ok.error is None and len(ok.output) == 4
+        assert loop.error is None
+    finally:
+        loop.shutdown()
+
+
+def test_serving_loop_fatal_error_fails_waiters(setup):
+    """An exception escaping batcher.step must wake every waiting
+    client with an error instead of hanging them, and subsequent
+    submits must be rejected."""
+    bt = ContinuousBatcher(_engine(setup))
+    def boom():
+        raise RuntimeError("synthetic engine failure")
+    bt.step = boom
+    loop = ServingLoop(bt)
+    req = Request(prompt=[1, 2, 3], max_new_tokens=4)
+    ev = loop.submit(req)
+    assert ev.wait(60), "waiter hung after engine failure"
+    assert req.error and "synthetic engine failure" in req.error
+    assert loop.error is not None
+    with pytest.raises(RuntimeError):
+        loop.submit(Request(prompt=[4], max_new_tokens=1))
