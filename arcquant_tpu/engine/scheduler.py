@@ -54,6 +54,20 @@ class Request:
     # batcher-level (static — it shapes the jitted sampler)
     temperature: float = 0.0
     top_p: float = 1.0
+    # stop token SEQUENCES: generation ends when the output ends with
+    # any of them; the stop suffix itself is trimmed (OpenAI/vLLM
+    # convention). Host-side bookkeeping — works in spec mode too.
+    stop: Optional[List[List[int]]] = None
+    # additive per-token logit bias {token_id: bias} applied on
+    # device before sampling; -100-ish bans a token (OpenAI semantics)
+    logit_bias: Optional[dict] = None
+    # eos is suppressed (logit -inf) until this many tokens exist
+    min_new_tokens: int = 0
+    # serving metrics (wall-clock, filled by the batcher): admission,
+    # first token, completion
+    t_submit: Optional[float] = None
+    t_first: Optional[float] = None
+    t_done: Optional[float] = None
 
     def tokens_so_far(self) -> List[int]:
         """Prompt + everything generated; what a (re-)prefill replays.
@@ -165,7 +179,7 @@ class ContinuousBatcher:
         self.top_k = top_k
         import jax
         self._rng = jax.random.PRNGKey(seed)
-        self._sample_jit = None
+        self._sample_jit: dict = {}      # bias-width bucket -> jit
         # spec_window >= 2: decode via greedy SPECULATIVE verify
         # rounds (engine.verify_step) — each step commits 1..W tokens
         # per slot; drafter needs a draft(seq, k) -> k tokens method
@@ -206,36 +220,74 @@ class ContinuousBatcher:
     # -- admission ----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
-        if self.spec_window and req.temperature > 0:
+        if self.spec_window and (req.temperature > 0 or req.logit_bias
+                                 or req.min_new_tokens):
             raise ValueError(
-                "speculative batching is greedy-only (acceptance "
-                "compares argmax tokens); submit temperature-0 "
-                "requests or use spec_window=0")
+                "speculative batching is greedy-only on RAW logits "
+                "(acceptance compares argmax tokens); sampling / "
+                "logit_bias / min_new_tokens need spec_window=0")
+        import time
+        req.t_submit = time.perf_counter()
         self.queue.append(req)
 
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.slots) if s is None]
 
+    def _bias_entries(self):
+        """Per-slot (token, bias) pairs: request logit_bias plus the
+        min_new_tokens eos suppression (eos is -inf-banned until the
+        output can reach min_new_tokens)."""
+        entries = []
+        for s in self.slots:
+            e = []
+            if s is not None:
+                if s.logit_bias:
+                    e += [(int(t), float(v))
+                          for t, v in s.logit_bias.items()]
+                if (s.eos_id is not None and s.min_new_tokens
+                        and len(s.output) + 1 < s.min_new_tokens):
+                    e.append((int(s.eos_id), -1e9))
+            entries.append(e)
+        return entries
+
     def _sample_rows(self, logits) -> np.ndarray:
         """Per-REQUEST sampling over a [B, V] logits batch: each
-        slot's temperature/top_p ride as traced per-row data (one
-        compile total); all-greedy batches skip the sampler."""
+        slot's temperature/top_p/logit-bias ride as traced per-row
+        data (compiles per bias-width BUCKET only); batches with no
+        sampling and no bias skip the sampler."""
         temps = np.asarray([s.temperature if s else 0.0
                             for s in self.slots], np.float32)
-        if not temps.any():
+        entries = self._bias_entries()
+        m = max(len(e) for e in entries)
+        if not temps.any() and m == 0:
             return np.asarray(jnp.argmax(logits, -1), np.int32)
         import jax
+        b = len(self.slots)
         tps = np.asarray([s.top_p if s else 1.0
                           for s in self.slots], np.float32)
-        if self._sample_jit is None:
+        mb = 1
+        while mb < m:
+            mb *= 2
+        bt = np.full((b, mb), -1, np.int32)
+        bv = np.zeros((b, mb), np.float32)
+        for i, e in enumerate(entries):
+            for j, (t, v) in enumerate(e):
+                bt[i, j], bv[i, j] = t, v
+        if mb not in self._sample_jit:
             from .sampling import sample
             tk = self.top_k
-            self._sample_jit = jax.jit(
-                lambda lg, k, t, p: sample(lg, k, t, tk, p))
+
+            def f(lg, k, t, p, bt, bv):
+                rows = jnp.arange(lg.shape[0])[:, None]
+                safe = jnp.where(bt >= 0, bt, 0)
+                add = jnp.where(bt >= 0, bv, 0.0)
+                lg = lg.at[rows, safe].add(add)
+                return sample(lg, k, t, tk, p)
+            self._sample_jit[mb] = jax.jit(f)
         self._rng, sk = jax.random.split(self._rng)
-        return np.asarray(self._sample_jit(
-            logits, sk, jnp.asarray(temps), jnp.asarray(tps)),
-            np.int32)
+        return np.asarray(self._sample_jit[mb](
+            logits, sk, jnp.asarray(temps), jnp.asarray(tps),
+            jnp.asarray(bt), jnp.asarray(bv)), np.int32)
 
     def _map_pages(self, slot: int, pages: List[int]) -> None:
         """Record newly allocated pages in the host page table."""
@@ -361,8 +413,12 @@ class ContinuousBatcher:
             self.state, jnp.asarray(toks), jnp.asarray(lens),
             starts=jnp.asarray(starts) if starts.any() else None)
         first = self._sample_rows(logits)
+        import time
+        now = time.perf_counter()
         for slot, req, start in joining:
             self.next_token[slot] = first[slot]
+            if req.t_first is None:     # preserved across preemption
+                req.t_first = now
             if self.engine.ecfg.prefix_sharing:
                 # publish this request's fresh IMMUTABLE full pages
                 # (decode appends land at >= nprefill, never in them)
@@ -384,10 +440,26 @@ class ContinuousBatcher:
         self._admitted_at.pop(slot, None)
 
     def _retire(self, slot: int) -> None:
+        import time
         req = self.slots[slot]
         req.done = True
+        req.t_done = time.perf_counter()
         self.finished.append(req)
         self._release_slot(slot)
+
+    @staticmethod
+    def _hit_stop(req: Request) -> bool:
+        """True when output ends with one of the request's stop
+        sequences; the stop suffix is trimmed from the output."""
+        if not req.stop:
+            return False
+        out = req.output
+        for s in req.stop:
+            n = len(s)
+            if n and len(out) >= n and out[-n:] == list(s):
+                del out[len(out) - n:]
+                return True
+        return False
 
     def _preempt(self, slot: int) -> None:
         """Pool exhausted mid-decode: free this sequence's pages and
@@ -451,7 +523,8 @@ class ContinuousBatcher:
                 self._retire(i)
                 continue
             req.output.append(tok)
-            if len(req.output) >= req.max_new_tokens:
+            if self._hit_stop(req) or (len(req.output)
+                                       >= req.max_new_tokens):
                 self._retire(i)
         # KV capacity guard: retire any sequence about to overflow its
         # page range (reference kv_cache.py:174-188 raises instead;
@@ -524,7 +597,8 @@ class ContinuousBatcher:
                     self._retire(i)
                     break
                 req.output.append(tok)
-                if len(req.output) >= req.max_new_tokens:
+                if self._hit_stop(req) or (len(req.output)
+                                           >= req.max_new_tokens):
                     self._retire(i)
                     break
             self.next_token[i] = g[i, n]

@@ -45,6 +45,10 @@ class ServingLoop:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._steps = 0
         self._done_total = 0
+        self._ttft_sum = 0.0              # latency aggregates over
+        self._ttft_n = 0                  # completed requests
+        self._dec_tokens = 0
+        self._dec_time = 0.0
         self.error: Optional[str] = None  # fatal engine-thread error
         self._thread.start()
 
@@ -122,6 +126,13 @@ class ServingLoop:
                 self._steps += 1
                 self._done_total += len(done)
                 for r in done:
+                    if (r.t_submit is not None
+                            and r.t_first is not None):
+                        self._ttft_sum += r.t_first - r.t_submit
+                        self._ttft_n += 1
+                        if r.t_done is not None and len(r.output) > 1:
+                            self._dec_tokens += len(r.output) - 1
+                            self._dec_time += r.t_done - r.t_first
                     self._signal(r)
                 # the batcher archives every finished Request; a
                 # long-running server must not accumulate them
@@ -135,6 +146,12 @@ class ServingLoop:
                "queued": len(b.queue),
                "running": sum(s is not None for s in b.slots),
                "finished": self._done_total}
+        if self._ttft_n:
+            out["avg_ttft_s"] = round(self._ttft_sum / self._ttft_n,
+                                      4)
+        if self._dec_time > 0:
+            out["decode_tokens_per_s"] = round(
+                self._dec_tokens / self._dec_time, 1)
         if b.spec_window:
             out["spec"] = dict(b.spec_stats)
         return out
@@ -186,16 +203,27 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                                          "tokenizer; pass token ids"})
                         return
                     prompt = tokenizer.encode(prompt)
+                stop = body.get("stop")
+                if stop is not None:
+                    stop = [[int(t) for t in s] for s in stop]
+                bias = body.get("logit_bias")
+                if bias is not None:
+                    bias = {int(t): float(v) for t, v in bias.items()}
                 req = Request(
                     prompt=[int(t) for t in prompt],
                     max_new_tokens=int(body.get("max_tokens",
                                                 default_max_tokens)),
                     eos_id=body.get("eos_id"),
                     temperature=float(body.get("temperature", 0.0)),
-                    top_p=float(body.get("top_p", 1.0)))
+                    top_p=float(body.get("top_p", 1.0)),
+                    stop=stop, logit_bias=bias,
+                    min_new_tokens=int(body.get("min_tokens", 0)))
                 loop.complete(req, timeout=body.get("timeout"))
                 out = {"request_id": req.request_id,
                        "tokens": req.output}
+                if req.t_first is not None:
+                    out["ttft_s"] = round(
+                        req.t_first - req.t_submit, 4)
                 if req.error:
                     out["error"] = req.error
                 if tokenizer is not None:
