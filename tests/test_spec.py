@@ -210,3 +210,56 @@ def test_batcher_spec_rejects_sampled_requests(setup):
     bt = ContinuousBatcher(_fresh(setup), spec_window=4)
     with pytest.raises(ValueError):
         bt.submit(Request_(prompt=[1, 2], temperature=0.7))
+
+
+def test_device_ngram_matches_host_drafter():
+    """device_ngram_draft must agree with the host NgramDrafter on
+    random histories (same longest-suffix / most-recent-match /
+    repeat-last-fallback semantics)."""
+    from arcquant_tpu.engine.spec import device_ngram_draft
+    rng = np.random.RandomState(0)
+    d = NgramDrafter(max_ngram=4)
+    for trial in range(20):
+        L = rng.randint(2, 40)
+        seq = rng.randint(0, 4, size=L).tolist()  # small vocab: matches
+        k = rng.randint(1, 5)
+        want = d.draft(seq, k)
+        hist = np.zeros((1, 64), np.int32)
+        hist[0, :L] = seq
+        got = np.asarray(device_ngram_draft(
+            jnp.asarray(hist), jnp.asarray([L], jnp.int32), k))
+        assert got[0].tolist() == want, (trial, seq, k, got, want)
+
+
+def test_ondevice_spec_token_identical(setup):
+    """The fully on-device spec loop (drafting + verify + accept +
+    commit in one lax.while_loop) must reproduce plain greedy
+    generate token for token — including eos retirement — while
+    needing fewer verify rounds than tokens on looping output."""
+    _, _, _, _, eng = setup
+    prompts = [[1, 2, 3, 4] * 6, [5, 17, 301, 42, 8]]
+    ref = eng.generate(prompts, max_new_tokens=12)
+    spec = SpeculativeEngine(_fresh(setup), NgramDrafter(), window=4)
+    got = spec.generate_ondevice(prompts, max_new_tokens=12)
+    assert got == ref, (got, ref)
+    assert spec.stats["rounds"] <= 24  # 2 rows x 12 tokens upper bound
+
+    # eos: stop exactly where greedy decode stops
+    eos = ref[1][2]
+    ref_eos = eng.generate(prompts, max_new_tokens=12, eos_id=eos)
+    got_eos = spec.generate_ondevice(prompts, max_new_tokens=12,
+                                     eos_id=eos)
+    assert got_eos == ref_eos, (got_eos, ref_eos)
+
+
+def test_ondevice_spec_accepts_on_looping_output(setup):
+    """On output that actually loops, the on-device drafter must win
+    rounds: strictly fewer verify rounds than emitted tokens."""
+    _, _, _, _, eng = setup
+    prompts = [[9, 9, 9, 9], [2, 7, 2, 7, 2, 7]]
+    ref = eng.generate(prompts, max_new_tokens=16)
+    spec = SpeculativeEngine(_fresh(setup), NgramDrafter(), window=4)
+    got = spec.generate_ondevice(prompts, max_new_tokens=16)
+    assert got == ref
+    total = sum(len(o) for o in got)
+    assert spec.stats["rounds"] < total, (spec.stats, total)
