@@ -181,7 +181,8 @@ class InferenceEngine:
                 for i, lp in enumerate(params["layers"])]
         else:
             self.qparams = params
-        if qcfg.quantize_lm_head and qcfg.quant_type == "NVFP4":
+        if (qcfg.quantize_lm_head and qcfg.quant_type == "NVFP4"
+                and "lm_head_packed" not in self.qparams):
             from ..quant import packing
             head = self.qparams.get("lm_head", self.qparams["embed"])
             ridx = jnp.arange(head.shape[1], dtype=jnp.int32)

@@ -366,11 +366,11 @@ class SpeculativeEngine:
             eng._scan_jit[key] = jax.jit(
                 self._ondevice_loop(w, eos_id, max_ngram, hist_w),
                 donate_argnums=(1,))
-        hist, hist_len, cache, seq_lens, rounds = eng._scan_jit[key](
+        hist, hist_len, cache, seq_lens, st = eng._scan_jit[key](
             eng.qparams, cache, pt, seq_lens, hist, hist_len, plen,
             act0, jnp.int32(max_new_tokens))
-        self.stats = {"rounds": int(rounds), "proposed": 0,
-                      "accepted": 0}
+        self.stats = {"rounds": int(st[0]), "proposed": int(st[1]),
+                      "accepted": int(st[2])}
         hist_np = np.asarray(hist)
         hl = np.asarray(hist_len)
         pl = np.asarray(plen)
@@ -392,7 +392,8 @@ class SpeculativeEngine:
                 return jnp.any(c[4])
 
             def body(c):
-                cache, seq_lens, hist, hist_len, act, rounds = c
+                cache, seq_lens, hist, hist_len, act, \
+                    (rounds, prop, acc) = c
                 cur = jnp.take_along_axis(
                     hist, jnp.maximum(hist_len - 1, 0)[:, None],
                     axis=1)[:, 0]
@@ -425,15 +426,18 @@ class SpeculativeEngine:
                     g, mode="drop")
                 hist_len = hist_len + emit
                 seq_lens = seq_lens + jnp.where(act, n_acc + 1, 0)
+                prop = prop + k * jnp.sum(act.astype(jnp.int32))
+                acc = acc + jnp.sum(jnp.where(act, n_acc, 0))
                 act = act & (fe > n_acc) \
                     & (hist_len - plen < max_new)
                 return (cache, seq_lens, hist, hist_len, act,
-                        rounds + 1)
+                        (rounds + 1, prop, acc))
 
-            cache, seq_lens, hist, hist_len, act, rounds = \
+            cache, seq_lens, hist, hist_len, act, stats = \
                 jax.lax.while_loop(
                     cond, body, (cache, seq_lens, hist, hist_len,
-                                 act, jnp.int32(0)))
-            return hist, hist_len, cache, seq_lens, rounds
+                                 act, (jnp.int32(0), jnp.int32(0),
+                                       jnp.int32(0))))
+            return hist, hist_len, cache, seq_lens, stats
 
         return f

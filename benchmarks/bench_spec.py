@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--n1", type=int, default=8)
     ap.add_argument("--n2", type=int, default=24)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--ondevice", action="store_true",
+                    help="ALSO time the fully on-device spec loop "
+                    "(generate_ondevice) on a looping workload vs "
+                    "the greedy decode_scan — end-to-end tokens/s "
+                    "with drafting+acceptance included")
+    ap.add_argument("--gen_tokens", type=int, default=128,
+                    help="tokens per row for the --ondevice run")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -134,6 +141,54 @@ def main():
         print(f"W={w}: verify {v_ms:.3f} ms "
               f"({v_ms / dec_ms:.2f}x decode step), "
               f"speedup {sp}", file=sys.stderr)
+
+    if args.ondevice:
+        # end-to-end: on-device spec loop vs the greedy decode scan,
+        # on a LOOPING workload (random-weight greedy output cycles,
+        # so prompt-lookup drafting gets realistic acceptance)
+        from arcquant_tpu.engine import SpeculativeEngine, NgramDrafter
+        n_tok = args.gen_tokens
+        prompts = [[7 + i, 9, 7 + i, 9] * 2 for i in range(b)]
+        eng2 = InferenceEngine(eng.cfg, eng.qparams, eng.calib,
+                               eng.qcfg,
+                               EngineConfig(max_batch=b,
+                                            max_seq_len=max(
+                                                n_tok + 32, 256)),
+                               quantize_params=False)
+        spec = SpeculativeEngine(eng2, NgramDrafter(), window=4)
+
+        def t_ondevice():
+            t0 = time.perf_counter()
+            out = spec.generate_ondevice(prompts, n_tok)
+            dt = time.perf_counter() - t0
+            return dt, sum(len(o) for o in out)
+
+        def t_scan():
+            toks, lens, _ = eng2._pad_prompts(prompts)
+            st = eng2.new_state()
+            t0 = time.perf_counter()
+            lg, st = eng2.prefill(st, jnp.asarray(toks),
+                                  jnp.asarray(lens))
+            first = jnp.argmax(lg, -1).astype(jnp.int32)
+            tk, st = eng2.decode_scan(st, first,
+                                      jnp.ones((b,), bool),
+                                      n_tok - 1)
+            int(jnp.sum(tk))
+            return time.perf_counter() - t0, b * n_tok
+
+        for f in (t_ondevice, t_scan):     # compile
+            f()
+        od = min(t_ondevice()[0] for _ in range(args.repeats))
+        sc = min(t_scan()[0] for _ in range(args.repeats))
+        results["ondevice"] = {
+            "spec_tokens_per_s": round(b * n_tok / od, 1),
+            "scan_tokens_per_s": round(b * n_tok / sc, 1),
+            "speedup": round(sc / od, 2),
+            "rounds": spec.stats["rounds"]}
+        print(f"ondevice spec: {b * n_tok / od:.0f} tok/s vs scan "
+              f"{b * n_tok / sc:.0f} tok/s ({sc / od:.2f}x), "
+              f"{spec.stats['rounds']} rounds for {n_tok}/row",
+              file=sys.stderr)
     print(json.dumps(results))
 
 

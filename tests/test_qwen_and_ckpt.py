@@ -71,3 +71,29 @@ def test_quantized_checkpoint_roundtrip(tmp_path, fmt):
     a = quantized.quant_model_forward(cfg, qp, calib, qcfg, toks)
     b = quantized.quant_model_forward(cfg, back, calib, qcfg, toks)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_moe_engine_checkpoint_roundtrip(tmp_path):
+    """Fused ENGINE params — including packed MoE expert stacks
+    (gate/up as one big-N PackedWeight, down as a stacked [E, ...]
+    batch) — must round-trip through the orbax packed checkpoint
+    bit-exactly."""
+    from arcquant_tpu.utils import save_quantized, load_quantized
+    cfg = get_model_config("test-tiny-moe")
+    params = llama.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    qlayers = [quantized.quantize_layer_params_fused(lp, calib[i],
+                                                     qcfg)
+               for i, lp in enumerate(params["layers"])]
+    qp = {"embed": params["embed"], "final_norm": params["final_norm"],
+          "layers": qlayers}
+    path = str(tmp_path / "moe_ckpt")
+    save_quantized(path, qp)
+    back = load_quantized(path)
+    flat_a, _ = jax.tree.flatten(qp)
+    flat_b, _ = jax.tree.flatten(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
