@@ -10,9 +10,16 @@ scheduler.py), and a stdlib ThreadingHTTPServer exposes it.
 Endpoints:
   POST /v1/completions   {"prompt": [token ids] | "text",
                           "max_tokens": N, "temperature": t,
-                          "top_p": p, "eos_id": id}
+                          "top_p": p, "eos_id": id,
+                          "stop": [[ids]...], "logit_bias": {id: b},
+                          "min_tokens": N, "stream": bool}
                          -> {"tokens": [...], "text": ...?,
-                             "request_id": ...}
+                             "request_id": ..., "ttft_s": ...}
+                         stream=true: SSE frames `data: {"index": i,
+                         "token": t}` per token, then a final
+                         `data: {"done": true, "tokens": [...]}`
+                         (authoritative — stop-sequence trimming can
+                         retract the last streamed tokens)
   GET  /health           -> {"ok": true, "stats": {...}}
 
 Design: exactly ONE thread touches the engine/batcher (JAX dispatch
@@ -218,6 +225,9 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                     top_p=float(body.get("top_p", 1.0)),
                     stop=stop, logit_bias=bias,
                     min_new_tokens=int(body.get("min_tokens", 0)))
+                if body.get("stream"):
+                    self._stream(req, body.get("timeout"))
+                    return
                 loop.complete(req, timeout=body.get("timeout"))
                 out = {"request_id": req.request_id,
                        "tokens": req.output}
@@ -235,5 +245,43 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                 self._json(504, {"error": str(e)})
             except RuntimeError as e:         # serving loop is down
                 self._json(503, {"error": str(e)})
+
+        def _stream(self, req, timeout):
+            """SSE token streaming: poll the request's growing output
+            (appends come from the single engine thread; we snapshot
+            per poll) and flush one frame per new token."""
+            ev = loop.submit(req)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            deadline = (time.monotonic() + timeout) if timeout \
+                else None
+            sent = 0
+            while True:
+                snap = list(req.output)
+                for i in range(sent, len(snap)):
+                    frame = {"index": i, "token": snap[i]}
+                    if tokenizer is not None:
+                        frame["text"] = tokenizer.decode([snap[i]])
+                    self.wfile.write(
+                        f"data: {json.dumps(frame)}\n\n".encode())
+                if len(snap) > sent:
+                    self.wfile.flush()
+                    sent = len(snap)
+                if ev.is_set() or req.done:
+                    break
+                if deadline and time.monotonic() > deadline:
+                    req.error = req.error or "stream timeout"
+                    break
+                time.sleep(0.005)
+            final = {"done": True, "request_id": req.request_id,
+                     "tokens": list(req.output)}
+            if req.error:
+                final["error"] = req.error
+            if tokenizer is not None:
+                final["text"] = tokenizer.decode(final["tokens"])
+            self.wfile.write(
+                f"data: {json.dumps(final)}\n\n".encode())
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -394,3 +394,30 @@ def test_packed_moe_memory_is_w4():
     # 4.5 b/elem + ARC dup columns (12.5%) + k-block padding; the qdq
     # stack this replaces is ~18 b/elem (bf16 augmented)
     assert bits_per_elem < 8.0, bits_per_elem
+
+
+def test_moe_spec_decode_and_sampling(moe_engine):
+    """Speculative decoding + sampled scans over a MoE engine: the
+    W-token verify routes through the dense-mode expert path exactly
+    like decode (per-token routing is batch-independent), so spec
+    output is token-identical to plain greedy generate."""
+    from arcquant_tpu.engine import (InferenceEngine, EngineConfig,
+                                     SpeculativeEngine, NgramDrafter,
+                                     SamplingParams)
+    cfg, params, calib, qcfg, eng = moe_engine
+    prompts = [[1, 2, 3, 4] * 5, [7, 8, 7, 8, 7, 8]]
+    ref = eng.generate(prompts, max_new_tokens=8)
+    e2 = InferenceEngine(cfg, params, calib, qcfg,
+                         EngineConfig(max_batch=2, max_seq_len=64,
+                                      page_size=16))
+    spec = SpeculativeEngine(e2, NgramDrafter(), window=3)
+    got = spec.generate(prompts, max_new_tokens=8)
+    assert got == ref, (got, ref)
+    got_od = spec.generate_ondevice(prompts, max_new_tokens=8)
+    assert got_od == ref, (got_od, ref)
+
+    sp = SamplingParams(temperature=0.9, top_k=8)
+    a = eng.generate(prompts, max_new_tokens=5, sampling=sp, seed=2)
+    b = eng.generate(prompts, max_new_tokens=5, sampling=sp, seed=2)
+    assert a == b
+    assert all(0 <= t < cfg.vocab_size for r in a for t in r)

@@ -161,3 +161,27 @@ def test_serving_loop_fatal_error_fails_waiters(setup):
     assert loop.error is not None
     with pytest.raises(RuntimeError):
         loop.submit(Request(prompt=[4], max_new_tokens=1))
+
+
+def test_http_streaming_sse(setup, server):
+    """stream=true: per-token SSE frames followed by an authoritative
+    final frame matching the non-streamed result."""
+    port, _ = server
+    _, out = _post(port, {"prompt": PROMPTS[0], "max_tokens": 6})
+    expect = out["tokens"]
+
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    c.request("POST", "/v1/completions", json.dumps(
+        {"prompt": PROMPTS[0], "max_tokens": 6, "stream": True}),
+        {"Content-Type": "application/json"})
+    r = c.getresponse()
+    assert r.getheader("Content-Type") == "text/event-stream"
+    frames = [json.loads(line[6:])
+              for line in r.read().decode().splitlines()
+              if line.startswith("data: ")]
+    c.close()
+    final = frames[-1]
+    assert final["done"] and final["tokens"] == expect
+    streamed = [f["token"] for f in frames[:-1]]
+    assert streamed == expect
+    assert [f["index"] for f in frames[:-1]] == list(range(6))
