@@ -20,8 +20,11 @@ Usage: python benchmarks/bench_spec.py --model qwen2.5-7b \
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp

@@ -651,3 +651,29 @@ def test_pp_spec_decode_and_sampling():
     sp = SamplingParams(temperature=0.9, top_k=8)
     assert (run(sp) == run(sp)).all()
     assert (run(SamplingParams(temperature=0.0)) == run(None)).all()
+
+
+def test_tp_batcher_speculative():
+    """ContinuousBatcher is engine-agnostic: spec_window over the TP
+    engine must reproduce the TP engine's own greedy batcher outputs
+    (verify_step + paged flash-prefill under shard_map)."""
+    from arcquant_tpu.engine import (EngineConfig, ContinuousBatcher,
+                                     Request)
+    from arcquant_tpu.parallel.tp_engine import TPInferenceEngine
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    mesh = make_mesh(dp=len(jax.devices()) // 2, tp=2)
+
+    def run(spec_window):
+        eng = TPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+        bt = ContinuousBatcher(eng, spec_window=spec_window)
+        for p in ([1, 2, 3, 4] * 5, [5, 17, 301], [7, 8] * 3):
+            bt.submit(Request(prompt=list(p), max_new_tokens=6))
+        return {r.prompt[0]: r.output for r in bt.run()}
+
+    assert run(3) == run(0)
