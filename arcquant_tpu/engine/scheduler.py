@@ -167,7 +167,8 @@ class ContinuousBatcher:
     """Admits requests into engine slots and steps the batch."""
 
     def __init__(self, engine: InferenceEngine, top_k: int = 0,
-                 seed: int = 0, spec_window: int = 0, drafter=None):
+                 seed: int = 0, spec_window: int = 0, drafter=None,
+                 decode_burst: int = 0):
         self.engine = engine
         self.state = engine.new_state()
         e = engine.ecfg
@@ -193,6 +194,19 @@ class ContinuousBatcher:
             self.spec_stats = {"rounds": 0, "proposed": 0,
                                "accepted": 0}
         self.drafter = drafter
+        # decode_burst > 1: when the queue is empty and every active
+        # request is greedy (no bias/min-tokens), decode N tokens per
+        # step() via the on-device decode_scan — ONE host dispatch
+        # per N tokens (vLLM multi-step scheduling analog; through a
+        # ~30 ms host<->device tunnel this is the dominant serving-
+        # throughput lever). Rows retiring mid-burst (eos/stop/
+        # max_new) drop their tail tokens; the tail K/V is stale-
+        # overwritten (same absolute-position-append invariant as
+        # speculative rollback). Exclusive with spec_window.
+        self.decode_burst = decode_burst
+        if decode_burst and spec_window:
+            raise ValueError("decode_burst and spec_window are "
+                             "exclusive decode strategies")
         self.allocs: Optional[List[PageAllocator]] = None
         self._stamp = itertools.count()     # admission order
         self._admitted_at: dict = {}        # slot -> stamp
@@ -447,6 +461,20 @@ class ContinuousBatcher:
         self.finished.append(req)
         self._release_slot(slot)
 
+    def _record_token(self, i: int, tok: int) -> bool:
+        """Record one produced token for slot i (eos / stop-sequence /
+        max_new_tokens bookkeeping). Returns True while the slot
+        keeps running."""
+        req = self.slots[i]
+        if req.eos_id is not None and tok == req.eos_id:
+            self._retire(i)
+            return False
+        req.output.append(tok)
+        if self._hit_stop(req) or len(req.output) >= req.max_new_tokens:
+            self._retire(i)
+            return False
+        return True
+
     @staticmethod
     def _hit_stop(req: Request) -> bool:
         """True when output ends with one of the request's stop
@@ -517,15 +545,7 @@ class ContinuousBatcher:
             return self.finished[before:]
         # record the token produced by the previous step (or prefill)
         for i in active_slots:
-            req = self.slots[i]
-            tok = int(self.next_token[i])
-            if req.eos_id is not None and tok == req.eos_id:
-                self._retire(i)
-                continue
-            req.output.append(tok)
-            if self._hit_stop(req) or (len(req.output)
-                                       >= req.max_new_tokens):
-                self._retire(i)
+            self._record_token(i, int(self.next_token[i]))
         # KV capacity guard: retire any sequence about to overflow its
         # page range (reference kv_cache.py:174-188 raises instead;
         # retiring keeps the batch serving). Spec mode needs headroom
@@ -537,12 +557,34 @@ class ContinuousBatcher:
             if (self.slots[i] is not None
                     and lens_np[i] >= self.engine.ecfg.max_seq_len - w):
                 self._retire(i)
-        self._grow_pages(ahead=w)
+        ahead = w
+        if not self.spec_window and self._burst_size():
+            ahead = max(ahead, self.decode_burst)
+        self._grow_pages(ahead=ahead)
         active = np.asarray([s is not None for s in self.slots])
         if active.any():
             self._push_pt()
+            bn = 0 if self.spec_window else self._burst_size()
             if self.spec_window:
                 self._spec_round(active)
+            elif bn:
+                toks, self.state = self.engine.decode_scan(
+                    self.state, jnp.asarray(self.next_token),
+                    jnp.asarray(active), bn)
+                toks = np.asarray(toks)
+                alive = active.copy()
+                # replay the per-step bookkeeping for the first bn-1
+                # tokens; the last stays pending (recorded at the
+                # next step's start, exactly like per-step decode)
+                for j in range(bn - 1):
+                    for i in range(len(self.slots)):
+                        if alive[i] and self.slots[i] is not None:
+                            if not self._record_token(
+                                    i, int(toks[i, j])):
+                                alive[i] = False
+                self.next_token = np.where(
+                    alive, toks[:, bn - 1],
+                    self.next_token).astype(np.int32)
             else:
                 logits, self.state = self.engine.decode_step(
                     self.state, jnp.asarray(self.next_token),
@@ -551,6 +593,26 @@ class ContinuousBatcher:
                 self.next_token = np.where(active, nxt,
                                            self.next_token)
         return self.finished[before:]
+
+    def _burst_size(self) -> int:
+        """Burst length for this step, or 0 to decode per-step: burst
+        only with an empty queue (admission must not wait N tokens),
+        all-greedy bias-free requests, and KV headroom for the whole
+        burst on every running row."""
+        n = self.decode_burst
+        if not n or self.queue:
+            return 0
+        lens_np = None
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            if s.temperature > 0 or s.logit_bias or s.min_new_tokens:
+                return 0
+            if lens_np is None:
+                lens_np = np.asarray(self.state[2])
+            if lens_np[i] + n + 1 > self.engine.ecfg.max_seq_len:
+                return 0
+        return n if lens_np is not None else 0
 
     def _spec_round(self, active: np.ndarray) -> None:
         """One speculative verify round: draft spec_window-1 tokens

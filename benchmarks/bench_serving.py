@@ -38,6 +38,7 @@ def main():
                     help="requests/s Poisson arrivals; 0 = offline "
                     "(all submitted up front)")
     ap.add_argument("--spec_window", type=int, default=0)
+    ap.add_argument("--decode_burst", type=int, default=0)
     ap.add_argument("--dynamic_pages", action="store_true")
     ap.add_argument("--weight_fmt", default="w8")
     ap.add_argument("--seed", type=int, default=0)
@@ -79,7 +80,8 @@ def main():
             for _ in range(args.requests)]
 
     def run(reqs, arrivals):
-        bt = ContinuousBatcher(eng, spec_window=args.spec_window)
+        bt = ContinuousBatcher(eng, spec_window=args.spec_window,
+                               decode_burst=args.decode_burst)
         t0 = time.perf_counter()
         i = 0
         while i < len(reqs) or bt.queue or any(
@@ -94,10 +96,11 @@ def main():
                 time.sleep(0.001)
         return time.perf_counter() - t0, bt
 
-    # warmup: compile prefill + decode (+ spec verify) once
+    # warmup: compile prefill + both decode paths (per-step while a
+    # queue backlog exists, burst/spec once it drains)
     warm = [Request(prompt=rng.randint(
         1, cfg.vocab_size, size=args.prompt_len).tolist(),
-        max_new_tokens=4) for _ in range(min(2, args.max_batch))]
+        max_new_tokens=4) for _ in range(args.max_batch + 1)]
     run(warm, [0.0] * len(warm))
 
     reqs = make_requests()
@@ -120,6 +123,7 @@ def main():
         "prompt_len": args.prompt_len, "max_new": args.max_new,
         "arrival_rate": args.arrival_rate,
         "spec_window": args.spec_window,
+        "decode_burst": args.decode_burst,
         "wall_s": round(wall, 2),
         "output_tokens_per_s": round(out_tokens / wall, 1),
         "ttft_p50_s": round(pct(ttfts, 50), 3),

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--spec_window", type=int, default=0,
                     help=">=2 enables greedy speculative decode "
                     "(prompt-lookup drafts)")
+    ap.add_argument("--decode_burst", type=int, default=0,
+                    help=">=2 decodes N tokens per engine dispatch "
+                    "when the queue is empty and all requests are "
+                    "greedy (multi-step scheduling)")
     ap.add_argument("--top_k", type=int, default=0,
                     help="static top-k for sampled requests")
     ap.add_argument("--cpu", action="store_true",
@@ -91,7 +95,8 @@ def main():
         eng = InferenceEngine.dummy(cfg, calib, qcfg, ecfg)
 
     batcher = ContinuousBatcher(eng, top_k=args.top_k,
-                                spec_window=args.spec_window)
+                                spec_window=args.spec_window,
+                                decode_burst=args.decode_burst)
     loop = ServingLoop(batcher)
     srv = make_server(loop, args.host, args.port, tokenizer)
     print(f"serving {args.model} on http://{args.host}:{args.port} "

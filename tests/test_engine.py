@@ -455,3 +455,58 @@ def test_prefix_sharing_one_copy_and_token_parity(setup):
     for a in (bat.allocs or []):
         assert not a.owned
         assert a.available() == a.capacity
+
+
+def test_batcher_decode_burst_matches_per_step(setup):
+    """Multi-step decode bursts (decode_scan inside the batcher) must
+    reproduce per-step outputs exactly — including mid-burst eos,
+    stop-sequence, and max_new retirement (tail tokens dropped, tail
+    KV stale-overwritten) and queue-backlog fallback to per-step."""
+    cfg, params, calib, qcfg, eng = setup
+
+    def run(burst, extra_kw=None):
+        e = InferenceEngine(cfg, params, calib, qcfg,
+                            EngineConfig(max_batch=2, max_seq_len=64,
+                                         page_size=16))
+        bt = ContinuousBatcher(e, decode_burst=burst)
+        base = eng.generate([[5, 17, 301, 42, 8]], 12)[0]
+        reqs = [
+            Request(prompt=[5, 17, 301, 42, 8], max_new_tokens=12),
+            Request(prompt=[100, 200, 7], max_new_tokens=9),
+            # eos mid-burst: the 4th greedy token of row 0
+            Request(prompt=[5, 17, 301, 42, 8], max_new_tokens=12,
+                    eos_id=base[3]),
+            # stop-sequence mid-burst
+            Request(prompt=[5, 17, 301, 42, 8], max_new_tokens=12,
+                    stop=[base[5:7]]),
+        ]
+        for r in reqs:
+            bt.submit(r)
+        bt.run()
+        return [r.output for r in reqs]
+
+    assert run(8) == run(0)
+    assert run(3) == run(0)
+
+
+def test_batcher_burst_with_dynamic_pages(setup):
+    """Bursts grow pages for the whole burst ahead of time; dynamic
+    page churn with oversubscription must still match per-step."""
+    cfg, params, calib, qcfg, _ = setup
+
+    def run(burst):
+        e = InferenceEngine(cfg, params, calib, qcfg,
+                            EngineConfig(max_batch=2, max_seq_len=64,
+                                         page_size=16, num_pages=9,
+                                         dynamic_pages=True))
+        bt = ContinuousBatcher(e, decode_burst=burst)
+        reqs = [Request(prompt=[5, 17, 301, 42, 8],
+                        max_new_tokens=10),
+                Request(prompt=[100, 200, 7], max_new_tokens=10),
+                Request(prompt=[9, 9, 9, 9], max_new_tokens=8)]
+        for r in reqs:
+            bt.submit(r)
+        bt.run()
+        return [r.output for r in reqs]
+
+    assert run(4) == run(0)

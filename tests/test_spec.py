@@ -263,3 +263,31 @@ def test_ondevice_spec_accepts_on_looping_output(setup):
     assert got == ref
     total = sum(len(o) for o in got)
     assert spec.stats["rounds"] < total, (spec.stats, total)
+
+
+def test_batcher_spec_with_prefix_sharing_and_chunked_prefill(setup):
+    """Spec verify writes stale (uncommitted) K/V up to window-1
+    positions past the committed length — this must never corrupt
+    refcounted shared prefix pages (stale appends land beyond the
+    full-page prefix region by construction). Two requests share a
+    page-aligned prompt prefix; chunked prefill + dynamic pages +
+    spec decode together must reproduce the plain batcher."""
+    from arcquant_tpu.engine import ContinuousBatcher
+    shared = list(range(1, 17))          # one full 16-token page
+    reqs = lambda: [  # noqa: E731
+        Request_(prompt=shared + [31, 32], max_new_tokens=8),
+        Request_(prompt=shared + [41, 42, 43], max_new_tokens=8),
+    ]
+
+    def run(spec_window):
+        eng = _fresh(setup, dynamic_pages=True, prefill_chunk=16,
+                     prefix_sharing=True, num_pages=12)
+        bt = ContinuousBatcher(eng, spec_window=spec_window)
+        for r in reqs():
+            bt.submit(r)
+        done = bt.run()
+        return {r.prompt[-1]: r.output for r in done}
+
+    plain = run(0)
+    spec = run(3)
+    assert spec == plain, (spec, plain)
