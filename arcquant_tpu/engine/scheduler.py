@@ -64,10 +64,13 @@ class Request:
     # eos is suppressed (logit -inf) until this many tokens exist
     min_new_tokens: int = 0
     # serving metrics (wall-clock, filled by the batcher): admission,
-    # first token, completion
+    # first token, completion; preemption count (a preempted request's
+    # t_done - t_first includes requeue + re-prefill time, so decode-
+    # rate aggregates skip it)
     t_submit: Optional[float] = None
     t_first: Optional[float] = None
     t_done: Optional[float] = None
+    preempts: int = 0
 
     def tokens_so_far(self) -> List[int]:
         """Prompt + everything generated; what a (re-)prefill replays.
@@ -258,8 +261,12 @@ class ContinuousBatcher:
                 if s.logit_bias:
                     e += [(int(t), float(v))
                           for t, v in s.logit_bias.items()]
+                # a token sampled now is recorded on top of the
+                # CURRENT output (the previous pending token is
+                # already in it), so eos stays banned while
+                # len(output) < min (an eos retire never appends)
                 if (s.eos_id is not None and s.min_new_tokens
-                        and len(s.output) + 1 < s.min_new_tokens):
+                        and len(s.output) < s.min_new_tokens):
                     e.append((int(s.eos_id), -1e9))
             entries.append(e)
         return entries
@@ -494,6 +501,7 @@ class ContinuousBatcher:
         requeue it (re-prefills prompt + output when pages free up;
         `.prompt` stays immutable — see Request.tokens_so_far)."""
         req = self.slots[slot]
+        req.preempts += 1
         self._release_slot(slot)
         self.queue.insert(0, req)
 
@@ -557,14 +565,14 @@ class ContinuousBatcher:
             if (self.slots[i] is not None
                     and lens_np[i] >= self.engine.ecfg.max_seq_len - w):
                 self._retire(i)
-        ahead = w
-        if not self.spec_window and self._burst_size():
-            ahead = max(ahead, self.decode_burst)
-        self._grow_pages(ahead=ahead)
+        bn = 0 if self.spec_window else self._burst_size()
+        self._grow_pages(ahead=max(w, bn or 1))
+        if bn and self.queue:
+            # growth preempted someone: admission first, burst later
+            bn = 0
         active = np.asarray([s is not None for s in self.slots])
         if active.any():
             self._push_pt()
-            bn = 0 if self.spec_window else self._burst_size()
             if self.spec_window:
                 self._spec_round(active)
             elif bn:
@@ -597,12 +605,16 @@ class ContinuousBatcher:
     def _burst_size(self) -> int:
         """Burst length for this step, or 0 to decode per-step: burst
         only with an empty queue (admission must not wait N tokens),
-        all-greedy bias-free requests, and KV headroom for the whole
-        burst on every running row."""
+        all-greedy bias-free requests, KV headroom for the whole
+        burst on every running row, and — in dynamic-page mode —
+        enough ALLOCATABLE pages that provisioning the burst never
+        preempts anyone (a per-step decode would not have)."""
         n = self.decode_burst
         if not n or self.queue:
             return 0
         lens_np = None
+        ps = self.engine.ecfg.page_size
+        extra: dict = {}
         for i, s in enumerate(self.slots):
             if s is None:
                 continue
@@ -611,6 +623,15 @@ class ContinuousBatcher:
             if lens_np is None:
                 lens_np = np.asarray(self.state[2])
             if lens_np[i] + n + 1 > self.engine.ecfg.max_seq_len:
+                return 0
+            if self.allocs is not None:
+                have = int(np.count_nonzero(self._pt[i]))
+                need = (int(lens_np[i]) + n - 1) // ps + 1 - have
+                if need > 0:
+                    g = i // self._slots_per_group
+                    extra[g] = extra.get(g, 0) + need
+        for g, e in extra.items():
+            if e > self.allocs[g].available():
                 return 0
         return n if lens_np is not None else 0
 
@@ -654,14 +675,7 @@ class ContinuousBatcher:
             # accepted drafts are final now; the bonus g[i, n] waits
             # as the pending token
             for j in range(n):
-                tok = int(g[i, j])
-                if req.eos_id is not None and tok == req.eos_id:
-                    self._retire(i)
-                    break
-                req.output.append(tok)
-                if self._hit_stop(req) or (len(req.output)
-                                           >= req.max_new_tokens):
-                    self._retire(i)
+                if not self._record_token(i, int(g[i, j])):
                     break
             self.next_token[i] = g[i, n]
         self.spec_stats["rounds"] += 1

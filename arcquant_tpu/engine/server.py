@@ -137,7 +137,11 @@ class ServingLoop:
                             and r.t_first is not None):
                         self._ttft_sum += r.t_first - r.t_submit
                         self._ttft_n += 1
-                        if r.t_done is not None and len(r.output) > 1:
+                        # preempted requests' t_done - t_first spans
+                        # requeue + re-prefill — skip them so the
+                        # decode rate reflects actual decoding
+                        if (r.t_done is not None and len(r.output) > 1
+                                and not r.preempts):
                             self._dec_tokens += len(r.output) - 1
                             self._dec_time += r.t_done - r.t_first
                     self._signal(r)
@@ -259,6 +263,10 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                 else None
             sent = 0
             while True:
+                # observe completion BEFORE snapshotting: tokens
+                # appended between a snapshot and the event firing
+                # still get per-token frames on this final pass
+                done_now = ev.is_set() or req.done
                 snap = list(req.output)
                 for i in range(sent, len(snap)):
                     frame = {"index": i, "token": snap[i]}
@@ -269,7 +277,7 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                 if len(snap) > sent:
                     self.wfile.flush()
                     sent = len(snap)
-                if ev.is_set() or req.done:
+                if done_now:
                     break
                 if deadline and time.monotonic() > deadline:
                     req.error = req.error or "stream timeout"

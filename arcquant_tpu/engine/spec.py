@@ -332,10 +332,18 @@ class SpeculativeEngine:
         acceptance rule; self.drafter is not consulted — drafting is
         the device n-gram matcher)."""
         eng, e, w = self.eng, self.eng.ecfg, self.window
+        if getattr(eng, "mesh", None) is not None:
+            raise ValueError(
+                "generate_ondevice runs the base single-chip forward "
+                "under its own jit; sharded engines (TP/PP) use the "
+                "host verify loop (SpeculativeEngine.generate)")
         b = len(prompts)
         toks, lens, _ = eng._pad_prompts(list(prompts))
         cap = e.pages_per_seq * e.page_size
-        hist_w = e.max_seq_len
+        # the capacity guard below admits prompt+max_new up to cap-w,
+        # which can EXCEED max_seq_len when it isn't page-aligned —
+        # the history must hold every emitted token
+        hist_w = cap
         for i in range(b):
             if int(lens[i]) + max_new_tokens + w > cap:
                 raise ValueError(

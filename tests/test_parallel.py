@@ -677,3 +677,24 @@ def test_tp_batcher_speculative():
         return {r.prompt[0]: r.output for r in bt.run()}
 
     assert run(3) == run(0)
+
+
+def test_tp_generate_ondevice_rejected():
+    """The fully on-device spec loop jits the base single-chip
+    forward; sharded engines must get a clear error, not an opaque
+    trace failure."""
+    from arcquant_tpu.engine import (EngineConfig, SpeculativeEngine,
+                                     NgramDrafter)
+    from arcquant_tpu.parallel.tp_engine import TPInferenceEngine
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    mesh = make_mesh(dp=len(jax.devices()) // 2, tp=2)
+    eng = TPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+    spec = SpeculativeEngine(eng, NgramDrafter(), window=3)
+    with pytest.raises(ValueError, match="single-chip"):
+        spec.generate_ondevice([[1, 2, 3]], 4)

@@ -85,6 +85,10 @@ def test_min_new_tokens_suppresses_eos(setup):
     got2 = _run_one(setup, eos_id=eos, min_new_tokens=4).output
     assert len(got2) >= 4
     assert eos not in got2[:4]
+    # min_new_tokens=1 guarantees at least one token even when the
+    # very first greedy token is eos (the off-by-one regression case)
+    got3 = _run_one(setup, eos_id=eos, min_new_tokens=1).output
+    assert len(got3) >= 1 and got3[0] != eos
 
 
 def test_latency_metrics_filled(setup):
