@@ -34,20 +34,16 @@ class SamplingParams:
         return self.temperature <= 0.0
 
 
-def sample(logits: jax.Array, key: jax.Array, temperature=1.0,
-           top_k: int = 0, top_p=1.0) -> jax.Array:
-    """Sample one token per row from [B, V] logits.
-
-    temperature / top_p: python floats or [B] arrays (per-request).
-    top_k: STATIC int. Rows with temperature <= 0 get argmax.
-    Returns [B] i32."""
+def warp_logits(logits: jax.Array, temperature=1.0, top_k: int = 0,
+                top_p=1.0) -> jax.Array:
+    """Apply the temperature → top-k → top-p warps to [B, V] logits,
+    returning warped f32 logits (masked entries are -inf). Sampling
+    from `softmax(warp_logits(x))` IS the engine's sampled
+    distribution — speculative sampling (spec.py) reuses this so its
+    acceptance math targets exactly the same distribution."""
     b, v = logits.shape
     x = logits.astype(jnp.float32)
-    greedy = jnp.argmax(x, -1).astype(jnp.int32)
     t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
-    if (isinstance(temperature, (int, float)) and temperature <= 0.0
-            and top_k == 0):
-        return greedy
     x = x / jnp.maximum(t, 1e-6)[:, None]
     if top_k and top_k < v:
         kth = jax.lax.top_k(x, top_k)[0][:, -1:]
@@ -64,6 +60,23 @@ def sample(logits: jax.Array, key: jax.Array, temperature=1.0,
         cutoff = jnp.min(jnp.where(keep, sp, jnp.inf), -1,
                          keepdims=True)
         x = jnp.where(probs < cutoff, -jnp.inf, x)
+    return x
+
+
+def sample(logits: jax.Array, key: jax.Array, temperature=1.0,
+           top_k: int = 0, top_p=1.0) -> jax.Array:
+    """Sample one token per row from [B, V] logits.
+
+    temperature / top_p: python floats or [B] arrays (per-request).
+    top_k: STATIC int. Rows with temperature <= 0 get argmax.
+    Returns [B] i32."""
+    b, v = logits.shape
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    if (isinstance(temperature, (int, float)) and temperature <= 0.0
+            and top_k == 0):
+        return greedy
+    x = warp_logits(logits, temperature, top_k, top_p)
     sampled = jax.random.categorical(key, x).astype(jnp.int32)
     return jnp.where(t <= 0.0, greedy, sampled)
 

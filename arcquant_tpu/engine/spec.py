@@ -174,6 +174,52 @@ class EngineDrafter:
         self.state = (cache, pt, jnp.asarray(dl))
 
 
+def sample_verify(logits: jax.Array, drafts: jax.Array,
+                  key: jax.Array, params) -> tuple:
+    """Stochastic speculative verify for a DETERMINISTIC proposal
+    (both drafters here are deterministic given the context: n-gram
+    lookup, greedy draft model), per Leviathan et al. 2023 adapted to
+    a point-mass q: accept draft d_i with probability p_{i-1}(d_i)
+    under the WARPED target distribution (sampling.warp_logits — the
+    exact distribution plain sampled decode draws from); on the first
+    rejection, resample from p with the rejected token masked out
+    (the (p - q)+ residual for q = delta_d); if all drafts survive,
+    the bonus token is a plain sample. Every emitted token is then
+    EXACTLY target-distributed (tests/test_spec.py pins the marginal
+    against direct sampling).
+
+    logits [B, W, V] raw verify logits; drafts [B, W-1].
+    Returns (n_acc [B] i32, out_tok [B, W] i32): out_tok[:, :n_acc]
+    are the accepted drafts, out_tok[:, n_acc] the resample/bonus."""
+    b, w, v = logits.shape
+    k = w - 1
+    from .sampling import warp_logits
+    x = warp_logits(logits.reshape(b * w, v), params.temperature,
+                    params.top_k, params.top_p).reshape(b, w, v)
+    p = jax.nn.softmax(x, -1)
+    pd = jnp.take_along_axis(p[:, :k], drafts[..., None],
+                             axis=-1)[..., 0]            # [B, k]
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (b, k))
+    acc = (u < pd).astype(jnp.int32)
+    n_acc = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
+    # final-token logits at position n_acc; a rejection masks the
+    # rejected draft out (residual renormalization)
+    xl = jnp.take_along_axis(x, n_acc[:, None, None], axis=1)[:, 0]
+    rejected = n_acc < k
+    rej_tok = jnp.take_along_axis(
+        drafts, jnp.minimum(n_acc, k - 1)[:, None], axis=1)[:, 0]
+    xl = jnp.where(rejected[:, None]
+                   & (jnp.arange(v)[None] == rej_tok[:, None]),
+                   -jnp.inf, xl)
+    fin = jax.random.categorical(kr, xl).astype(jnp.int32)
+    out = jnp.concatenate(
+        [drafts.astype(jnp.int32), jnp.zeros((b, 1), jnp.int32)],
+        axis=1)
+    out = out.at[jnp.arange(b), n_acc].set(fin)
+    return n_acc.astype(jnp.int32), out
+
+
 def device_ngram_draft(hist: jax.Array, hist_len: jax.Array, k: int,
                        max_ngram: int = 4) -> jax.Array:
     """Prompt-lookup drafting ON DEVICE: for each row, find the most
@@ -233,8 +279,17 @@ class SpeculativeEngine:
 
     def generate(self, prompts: Sequence[Sequence[int]],
                  max_new_tokens: int,
-                 eos_id: Optional[int] = None) -> List[List[int]]:
+                 eos_id: Optional[int] = None,
+                 sampling=None, seed: int = 0) -> List[List[int]]:
+        """Speculative decode. Greedy by default (token-identical to
+        plain greedy generate); `sampling` (SamplingParams) switches
+        to STOCHASTIC speculative sampling — every emitted token is
+        exactly distributed as plain sampled decode's warped target
+        distribution (sample_verify), the drafts only change how many
+        tokens each verify round commits."""
         eng, e, w = self.eng, self.eng.ecfg, self.window
+        stochastic = sampling is not None and not sampling.is_greedy
+        rk = jax.random.PRNGKey(seed)
         b = len(prompts)
         toks, lens, _ = eng._pad_prompts(list(prompts))
         cap = e.pages_per_seq * e.page_size
@@ -254,7 +309,11 @@ class SpeculativeEngine:
 
         out: List[List[int]] = [[] for _ in range(b)]
         done = np.asarray(lens[:e.max_batch] == 0)
-        cur = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
+        if stochastic:
+            first, rk = eng._sample(logits, sampling, rk)
+            cur = np.array(first)
+        else:
+            cur = np.array(jnp.argmax(logits, -1).astype(jnp.int32))
         # the prefill token is the first emission (mirrors generate())
         for i in range(b):
             if not done[i]:
@@ -276,7 +335,20 @@ class SpeculativeEngine:
             valid = np.where(active, w, 1).astype(np.int32)
             logits, state = eng.verify_step(
                 state, jnp.asarray(toksw), jnp.asarray(valid))
-            g = np.asarray(jnp.argmax(logits, -1).astype(jnp.int32))
+            if stochastic:
+                skey = ("specsample", e.max_batch, w, sampling)
+                if skey not in eng._scan_jit:
+                    eng._scan_jit[skey] = jax.jit(
+                        lambda lg, d, kk: sample_verify(
+                            lg, d, kk, sampling))
+                rk, sk = jax.random.split(rk)
+                n_d, g_d = eng._scan_jit[skey](
+                    logits, jnp.asarray(drafts), sk)
+                n_all = np.asarray(n_d)
+                g = np.asarray(g_d)
+            else:
+                g = np.asarray(jnp.argmax(logits, -1)
+                               .astype(jnp.int32))
             cache, pt, seq_lens = state
 
             committed: List[List[int]] = []
@@ -286,9 +358,12 @@ class SpeculativeEngine:
                 if done[i] or i >= b:
                     committed.append([])
                     continue
-                n = 0
-                while n < k and toksw[i, n + 1] == g[i, n]:
-                    n += 1
+                if stochastic:
+                    n = int(n_all[i])
+                else:
+                    n = 0
+                    while n < k and toksw[i, n + 1] == g[i, n]:
+                        n += 1
                 n_acc[i] = n
                 committed.append([int(x) for x in toksw[i, :n + 1]])
                 commit_n[i] = n + 1

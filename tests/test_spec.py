@@ -291,3 +291,51 @@ def test_batcher_spec_with_prefix_sharing_and_chunked_prefill(setup):
     plain = run(0)
     spec = run(3)
     assert spec == plain, (spec, plain)
+
+
+def test_sample_verify_exact_marginal():
+    """Stochastic speculative sampling correctness: the FIRST emitted
+    token's marginal must equal the warped target softmax regardless
+    of what the (deterministic) drafter proposed — accept-with-p(d) +
+    masked-residual-resample is exactly the target distribution."""
+    from arcquant_tpu.engine.spec import sample_verify
+    from arcquant_tpu.engine.sampling import SamplingParams
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[[2.0, 1.0, 0.0, -1.0, 0.5, 1.5, -2.0, 0.2],
+                           [0.0] * 8]])        # [1, W=2, V=8]
+    params = SamplingParams(temperature=1.0)
+    target = np.asarray(jax.nn.softmax(logits[0, 0]))
+    for draft_tok in (0, 6):        # high-prob and low-prob proposals
+        drafts = jnp.asarray([[draft_tok]], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(draft_tok + 1),
+                                4000)
+        n, out = jax.vmap(
+            lambda k: sample_verify(logits, drafts, k, params))(keys)
+        first = np.asarray(out[:, 0, 0])
+        freq = np.bincount(first, minlength=8) / len(first)
+        np.testing.assert_allclose(freq, target, atol=0.035), draft_tok
+        # and acceptance probability == p(draft)
+        acc_rate = float(np.asarray(n[:, 0]).mean())
+        np.testing.assert_allclose(acc_rate, target[draft_tok],
+                                   atol=0.03)
+
+
+def test_spec_generate_sampled(setup):
+    """Sampled speculative generate: reproducible per seed, valid
+    tokens, and a greedy SamplingParams falls back to the
+    token-identical greedy path."""
+    _, _, _, _, eng = setup
+    from arcquant_tpu.engine import SamplingParams
+    prompts = [[1, 2, 3, 4] * 5, [5, 17, 301]]
+    spec = SpeculativeEngine(_fresh(setup), NgramDrafter(), window=3)
+    sp = SamplingParams(temperature=1.0, top_k=8)
+    a = spec.generate(prompts, max_new_tokens=8, sampling=sp, seed=3)
+    b2 = spec.generate(prompts, max_new_tokens=8, sampling=sp, seed=3)
+    assert a == b2
+    v = eng.cfg.vocab_size
+    assert all(0 <= t < v for row in a for t in row)
+    assert all(len(row) == 8 for row in a)
+    greedy_ref = eng.generate(prompts, max_new_tokens=8)
+    g2 = spec.generate(prompts, max_new_tokens=8,
+                       sampling=SamplingParams(temperature=0.0))
+    assert g2 == greedy_ref
