@@ -184,6 +184,7 @@ class ContinuousBatcher:
         import jax
         self._rng = jax.random.PRNGKey(seed)
         self._sample_jit: dict = {}      # bias-width bucket -> jit
+        self._spec_sample_jit = None     # stochastic spec verify
         # spec_window >= 2: decode via greedy SPECULATIVE verify
         # rounds (engine.verify_step) — each step commits 1..W tokens
         # per slot; drafter needs a draft(seq, k) -> k tokens method
@@ -237,12 +238,14 @@ class ContinuousBatcher:
     # -- admission ----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
-        if self.spec_window and (req.temperature > 0 or req.logit_bias
+        if self.spec_window and (req.logit_bias
                                  or req.min_new_tokens):
+            # sampled requests ARE supported (stochastic speculative
+            # sampling, spec.sample_verify); bias/min-tokens would
+            # need per-POSITION logit edits inside the verify window
             raise ValueError(
-                "speculative batching is greedy-only on RAW logits "
-                "(acceptance compares argmax tokens); sampling / "
-                "logit_bias / min_new_tokens need spec_window=0")
+                "logit_bias / min_new_tokens are not supported with "
+                "speculative batching (spec_window=0 supports them)")
         import time
         req.t_submit = time.perf_counter()
         self.queue.append(req)
@@ -659,16 +662,42 @@ class ContinuousBatcher:
         valid = np.where(active, w, 1).astype(np.int32)
         logits, self.state = self.engine.verify_step(
             self.state, jnp.asarray(toksw), jnp.asarray(valid))
-        g = np.asarray(jnp.argmax(logits, -1), np.int32)
+        temps = np.asarray([s.temperature if s else 0.0
+                            for s in self.slots], np.float32)
+        if temps.any():
+            # per-request stochastic speculative sampling: one
+            # vectorized verify; temperature-0 rows degenerate to the
+            # greedy comparator exactly (sample_verify docstring)
+            import jax
+            if self._spec_sample_jit is None:
+                from .spec import sample_verify
+                tk = self.top_k
+                self._spec_sample_jit = jax.jit(
+                    lambda lg, d, kk, t, p: sample_verify(
+                        lg, d, kk, temperature=t, top_k=tk, top_p=p))
+            tps = np.asarray([s.top_p if s else 1.0
+                              for s in self.slots], np.float32)
+            self._rng, sk = jax.random.split(self._rng)
+            n_d, g_d = self._spec_sample_jit(
+                logits, jnp.asarray(drafts), sk, jnp.asarray(temps),
+                jnp.asarray(tps))
+            n_all = np.asarray(n_d)
+            g = np.asarray(g_d, np.int32)
+        else:
+            n_all = None
+            g = np.asarray(jnp.argmax(logits, -1), np.int32)
         cache, pt, seq_lens = self.state
         commit = np.zeros((b,), np.int32)
         for i in range(b):
             req = self.slots[i]
             if req is None or not active[i]:
                 continue
-            n = 0
-            while n < k and toksw[i, n + 1] == g[i, n]:
-                n += 1
+            if n_all is not None:
+                n = int(n_all[i])
+            else:
+                n = 0
+                while n < k and toksw[i, n + 1] == g[i, n]:
+                    n += 1
             commit[i] = n + 1
             self.spec_stats["proposed"] += k
             self.spec_stats["accepted"] += n

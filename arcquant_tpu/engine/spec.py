@@ -175,7 +175,8 @@ class EngineDrafter:
 
 
 def sample_verify(logits: jax.Array, drafts: jax.Array,
-                  key: jax.Array, params) -> tuple:
+                  key: jax.Array, params=None, temperature=1.0,
+                  top_k: int = 0, top_p=1.0) -> tuple:
     """Stochastic speculative verify for a DETERMINISTIC proposal
     (both drafters here are deterministic given the context: n-gram
     lookup, greedy draft model), per Leviathan et al. 2023 adapted to
@@ -188,14 +189,25 @@ def sample_verify(logits: jax.Array, drafts: jax.Array,
     EXACTLY target-distributed (tests/test_spec.py pins the marginal
     against direct sampling).
 
+    temperature/top_p may be per-ROW [B] arrays (per-request sampled
+    speculative batching). A temperature-0 row degenerates EXACTLY to
+    the greedy comparator: its warped distribution is a point mass at
+    the argmax, so p(d) is 1 iff d == argmax (always accepted, u < 1
+    strictly) and the residual/bonus sample IS the argmax.
+
     logits [B, W, V] raw verify logits; drafts [B, W-1].
     Returns (n_acc [B] i32, out_tok [B, W] i32): out_tok[:, :n_acc]
     are the accepted drafts, out_tok[:, n_acc] the resample/bonus."""
     b, w, v = logits.shape
     k = w - 1
+    if params is not None:
+        temperature, top_k, top_p = (params.temperature,
+                                     params.top_k, params.top_p)
+    t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    tp = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
     from .sampling import warp_logits
-    x = warp_logits(logits.reshape(b * w, v), params.temperature,
-                    params.top_k, params.top_p).reshape(b, w, v)
+    x = warp_logits(logits.reshape(b * w, v), jnp.repeat(t, w),
+                    top_k, jnp.repeat(tp, w)).reshape(b, w, v)
     p = jax.nn.softmax(x, -1)
     pd = jnp.take_along_axis(p[:, :k], drafts[..., None],
                              axis=-1)[..., 0]            # [B, k]

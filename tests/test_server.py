@@ -134,9 +134,9 @@ def test_serving_loop_survives_bad_request(setup):
     loop = ServingLoop(ContinuousBatcher(eng, spec_window=3))
     try:
         bad = Request(prompt=[1, 2, 3], max_new_tokens=4,
-                      temperature=0.9)
+                      logit_bias={0: 1.0})
         loop.complete(bad, timeout=60)
-        assert bad.error and "greedy-only" in bad.error
+        assert bad.error and "not supported" in bad.error
         ok = Request(prompt=[5, 17, 301], max_new_tokens=4)
         loop.complete(ok, timeout=300)
         assert ok.error is None and len(ok.output) == 4

@@ -205,11 +205,16 @@ def test_batcher_speculative_matches_plain(setup):
     assert bt.spec_stats["rounds"] > 0
 
 
-def test_batcher_spec_rejects_sampled_requests(setup):
+def test_batcher_spec_rejects_bias_and_min(setup):
+    """Sampled requests are allowed in spec mode (stochastic verify);
+    logit_bias / min_new_tokens (per-position edits) are not."""
     from arcquant_tpu.engine import ContinuousBatcher
     bt = ContinuousBatcher(_fresh(setup), spec_window=4)
+    bt.submit(Request_(prompt=[1, 2], temperature=0.7))  # fine now
     with pytest.raises(ValueError):
-        bt.submit(Request_(prompt=[1, 2], temperature=0.7))
+        bt.submit(Request_(prompt=[1, 2], logit_bias={0: 1.0}))
+    with pytest.raises(ValueError):
+        bt.submit(Request_(prompt=[1, 2], min_new_tokens=3))
 
 
 def test_device_ngram_matches_host_drafter():
@@ -339,3 +344,34 @@ def test_spec_generate_sampled(setup):
     g2 = spec.generate(prompts, max_new_tokens=8,
                        sampling=SamplingParams(temperature=0.0))
     assert g2 == greedy_ref
+
+
+def test_batcher_spec_sampled_requests(setup):
+    """Per-request sampled SPECULATIVE batching: mixed greedy + hot
+    requests in one spec-mode batch. The greedy request must still be
+    token-identical to the plain batcher (temperature-0 rows
+    degenerate to the greedy comparator through the warp); the hot
+    one emits valid tokens and is reproducible per batcher seed."""
+    from arcquant_tpu.engine import ContinuousBatcher
+    _, _, _, _, eng = setup
+    plain = ContinuousBatcher(_fresh(setup))
+    plain.submit(Request_(prompt=[1, 2, 3, 4] * 5, max_new_tokens=8))
+    greedy_out = plain.run()[0].output
+
+    def run():
+        bt = ContinuousBatcher(_fresh(setup), top_k=8, seed=11,
+                               spec_window=3)
+        r1 = Request_(prompt=[1, 2, 3, 4] * 5, max_new_tokens=8)
+        r2 = Request_(prompt=[1, 2, 3, 4] * 5, max_new_tokens=8,
+                      temperature=1.2, top_p=0.9)
+        bt.submit(r1)
+        bt.submit(r2)
+        bt.run()
+        return r1.output, r2.output
+
+    g1, s1 = run()
+    g2, s2 = run()
+    assert g1 == greedy_out, (g1, greedy_out)
+    assert (g1, s1) == (g2, s2)          # seed-reproducible
+    v = setup[0].vocab_size
+    assert all(0 <= t < v for t in s1) and len(s1) == 8
