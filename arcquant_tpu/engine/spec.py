@@ -404,9 +404,11 @@ class SpeculativeEngine:
     def generate_ondevice(self, prompts: Sequence[Sequence[int]],
                           max_new_tokens: int,
                           eos_id: Optional[int] = None,
-                          max_ngram: int = 4) -> List[List[int]]:
-        """Greedy speculative decoding with ZERO host round-trips in
-        the token loop: drafting (device_ngram_draft over a
+                          max_ngram: int = 4,
+                          sampling=None,
+                          seed: int = 0) -> List[List[int]]:
+        """Speculative decoding with ZERO host round-trips in the
+        token loop: drafting (device_ngram_draft over a
         device-resident token history), multi-token verify, prefix
         acceptance, KV commit, and eos/max-token retirement all run
         inside one jitted lax.while_loop. The host only prefills,
@@ -415,10 +417,14 @@ class SpeculativeEngine:
         Through a host<->device link with ~30 ms round-trips (this
         environment's TPU tunnel) the host verify loop pays one trip
         PER ROUND; this path pays ONE for the whole generation.
-        Token-identical to plain greedy generate() (same argmax
-        acceptance rule; self.drafter is not consulted — drafting is
-        the device n-gram matcher)."""
+        Greedy (default) is token-identical to plain greedy
+        generate(); `sampling` switches to the exact-distribution
+        stochastic verify (sample_verify) with the PRNG key in the
+        loop carry. self.drafter is not consulted — drafting is the
+        device n-gram matcher."""
         eng, e, w = self.eng, self.eng.ecfg, self.window
+        if sampling is not None and sampling.is_greedy:
+            sampling = None
         if getattr(eng, "mesh", None) is not None:
             raise ValueError(
                 "generate_ondevice runs the base single-chip forward "
@@ -441,7 +447,11 @@ class SpeculativeEngine:
                                         max_new_tokens, margin=w)
         logits, (cache, pt, seq_lens) = eng.prefill(
             state, jnp.asarray(toks), jnp.asarray(lens))
-        cur = jnp.argmax(logits, -1).astype(jnp.int32)
+        rk = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+        if sampling is not None:
+            cur, rk = eng._sample(logits, sampling, rk)
+        else:
+            cur = jnp.argmax(logits, -1).astype(jnp.int32)
         plen = jnp.asarray(lens, jnp.int32)
         # history = prompt tokens + the pending prefill token
         hist = jnp.zeros((e.max_batch, hist_w), jnp.int32)
@@ -456,14 +466,16 @@ class SpeculativeEngine:
         if max_new_tokens <= 1:
             act0 &= jnp.zeros_like(act0)
 
-        key = ("specscan", e.max_batch, w, hist_w, eos_id, max_ngram)
+        key = ("specscan", e.max_batch, w, hist_w, eos_id, max_ngram,
+               sampling)
         if key not in eng._scan_jit:
             eng._scan_jit[key] = jax.jit(
-                self._ondevice_loop(w, eos_id, max_ngram, hist_w),
+                self._ondevice_loop(w, eos_id, max_ngram, hist_w,
+                                    sampling),
                 donate_argnums=(1,))
         hist, hist_len, cache, seq_lens, st = eng._scan_jit[key](
             eng.qparams, cache, pt, seq_lens, hist, hist_len, plen,
-            act0, jnp.int32(max_new_tokens))
+            act0, jnp.int32(max_new_tokens), rk)
         self.stats = {"rounds": int(st[0]), "proposed": int(st[1]),
                       "accepted": int(st[2])}
         hist_np = np.asarray(hist)
@@ -473,13 +485,13 @@ class SpeculativeEngine:
                 for i in range(b)]
 
     def _ondevice_loop(self, w: int, eos_id, max_ngram: int,
-                       hist_w: int):
+                       hist_w: int, sampling=None):
         """Build the jitted while-loop body (one compile per
-        (batch, window, history width, eos))."""
+        (batch, window, history width, eos, sampling))."""
         eng, k = self.eng, w - 1
 
         def f(qparams, cache, pt, seq_lens, hist, hist_len, plen,
-              act, max_new):
+              act, max_new, rk0):
             b = hist.shape[0]
             rows = jnp.arange(b)
 
@@ -488,7 +500,7 @@ class SpeculativeEngine:
 
             def body(c):
                 cache, seq_lens, hist, hist_len, act, \
-                    (rounds, prop, acc) = c
+                    (rounds, prop, acc), rk = c
                 cur = jnp.take_along_axis(
                     hist, jnp.maximum(hist_len - 1, 0)[:, None],
                     axis=1)[:, 0]
@@ -500,9 +512,16 @@ class SpeculativeEngine:
                 logits, cache = eng._prefill_chunk_forward(
                     qparams, cache, pt, toksw, seq_lens + valid,
                     seq_lens, all_logits=True)
-                g = jnp.argmax(logits, -1).astype(jnp.int32)
-                match = (toksw[:, 1:] == g[:, :-1]).astype(jnp.int32)
-                n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                if sampling is None:
+                    g = jnp.argmax(logits, -1).astype(jnp.int32)
+                    match = (toksw[:, 1:]
+                             == g[:, :-1]).astype(jnp.int32)
+                    n_acc = jnp.sum(jnp.cumprod(match, axis=1),
+                                    axis=1)
+                else:
+                    rk, sk = jax.random.split(rk)
+                    n_acc, g = sample_verify(logits, drafts, sk,
+                                             sampling)
                 jr = jnp.arange(w)[None]
                 cand = jr <= n_acc[:, None]
                 if eos_id is not None:
@@ -526,13 +545,13 @@ class SpeculativeEngine:
                 act = act & (fe > n_acc) \
                     & (hist_len - plen < max_new)
                 return (cache, seq_lens, hist, hist_len, act,
-                        (rounds + 1, prop, acc))
+                        (rounds + 1, prop, acc), rk)
 
-            cache, seq_lens, hist, hist_len, act, stats = \
+            cache, seq_lens, hist, hist_len, act, stats, _ = \
                 jax.lax.while_loop(
                     cond, body, (cache, seq_lens, hist, hist_len,
                                  act, (jnp.int32(0), jnp.int32(0),
-                                       jnp.int32(0))))
+                                       jnp.int32(0)), rk0))
             return hist, hist_len, cache, seq_lens, stats
 
         return f

@@ -375,3 +375,25 @@ def test_batcher_spec_sampled_requests(setup):
     assert (g1, s1) == (g2, s2)          # seed-reproducible
     v = setup[0].vocab_size
     assert all(0 <= t < v for t in s1) and len(s1) == 8
+
+
+def test_ondevice_spec_sampled(setup):
+    """Sampled on-device spec loop: seed-reproducible, valid tokens,
+    exact lengths; greedy SamplingParams still token-identical to
+    plain greedy generate."""
+    from arcquant_tpu.engine import SamplingParams
+    _, _, _, _, eng = setup
+    prompts = [[1, 2, 3, 4] * 5, [5, 17, 301]]
+    spec = SpeculativeEngine(_fresh(setup), NgramDrafter(), window=3)
+    sp = SamplingParams(temperature=1.0, top_k=8)
+    a = spec.generate_ondevice(prompts, 8, sampling=sp, seed=5)
+    b2 = spec.generate_ondevice(prompts, 8, sampling=sp, seed=5)
+    assert a == b2
+    v = eng.cfg.vocab_size
+    assert all(0 <= t < v for row in a for t in row)
+    assert all(len(row) == 8 for row in a)
+    ref = eng.generate(prompts, max_new_tokens=8)
+    g = spec.generate_ondevice(prompts, 8,
+                               sampling=SamplingParams(
+                                   temperature=0.0))
+    assert g == ref, (g, ref)
