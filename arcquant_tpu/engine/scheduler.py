@@ -71,6 +71,10 @@ class Request:
     t_first: Optional[float] = None
     t_done: Optional[float] = None
     preempts: int = 0
+    # cooperative cancellation: set (e.g. on client disconnect) and
+    # the batcher retires the request at its next step, freeing the
+    # slot and its pages
+    cancelled: bool = False
 
     def tokens_so_far(self) -> List[int]:
         """Prompt + everything generated; what a (re-)prefill replays.
@@ -549,6 +553,16 @@ class ContinuousBatcher:
         """Admit + one decode step. Returns requests finished in this
         step."""
         before = len(self.finished)
+        # cooperative cancellation: drop queued, retire running
+        for r in [r for r in self.queue if r.cancelled]:
+            self.queue.remove(r)
+            r.done = True
+            r.error = r.error or "cancelled"
+            self.finished.append(r)
+        for i, s in enumerate(self.slots):
+            if s is not None and s.cancelled:
+                s.error = s.error or "cancelled"
+                self._retire(i)
         self._admit()
         active_slots = [i for i, s in enumerate(self.slots)
                         if s is not None]

@@ -47,6 +47,7 @@ class ServingLoop:
         self.batcher = batcher
         self._inbox: "queue.Queue[Request]" = queue.Queue()
         self._events: dict = {}          # request_id -> Event
+        self._reqs: dict = {}            # request_id -> Request
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -65,8 +66,20 @@ class ServingLoop:
         ev = threading.Event()
         with self._lock:
             self._events[req.request_id] = ev
+            self._reqs[req.request_id] = req
         self._inbox.put(req)
         return ev
+
+    def cancel(self, request_id: int) -> bool:
+        """Cooperatively cancel an in-flight request (client
+        disconnect): the engine thread retires it at its next step,
+        freeing the slot/pages. Returns False for unknown ids."""
+        with self._lock:
+            req = self._reqs.get(request_id)
+        if req is None:
+            return False
+        req.cancelled = True
+        return True
 
     def complete(self, req: Request,
                  timeout: Optional[float] = None) -> Request:
@@ -79,6 +92,7 @@ class ServingLoop:
     def _signal(self, req: Request):
         with self._lock:
             ev = self._events.pop(req.request_id, None)
+            self._reqs.pop(req.request_id, None)
         if ev is not None:
             ev.set()
 
@@ -255,6 +269,13 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
             (appends come from the single engine thread; we snapshot
             per poll) and flush one frame per new token."""
             ev = loop.submit(req)
+            try:
+                self._stream_frames(req, ev, timeout)
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away mid-stream: free the slot
+                loop.cancel(req.request_id)
+
+        def _stream_frames(self, req, ev, timeout):
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")

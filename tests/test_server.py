@@ -185,3 +185,31 @@ def test_http_streaming_sse(setup, server):
     streamed = [f["token"] for f in frames[:-1]]
     assert streamed == expect
     assert [f["index"] for f in frames[:-1]] == list(range(6))
+
+
+def test_cancel_frees_slot(setup):
+    """Cancelling an in-flight request retires it at the next engine
+    step (slot + pages freed) and wakes its waiter with error
+    'cancelled'; queued requests behind it then run to completion."""
+    import time as _t
+    eng = _engine(setup)
+    loop = ServingLoop(ContinuousBatcher(eng))
+    try:
+        slow = Request(prompt=[5, 17, 301], max_new_tokens=500)
+        ev = loop.submit(slow)
+        # let it get admitted and decode a few tokens
+        deadline = _t.time() + 60
+        while not slow.output and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert slow.output, "request never started"
+        assert loop.cancel(slow.request_id)
+        assert ev.wait(60), "cancelled request never completed"
+        assert slow.error == "cancelled"
+        assert len(slow.output) < 500
+        # the freed slot serves new work
+        nxt = Request(prompt=[1, 2, 3], max_new_tokens=4)
+        loop.complete(nxt, timeout=300)
+        assert nxt.error is None and len(nxt.output) == 4
+        assert not loop.cancel(999999)       # unknown id
+    finally:
+        loop.shutdown()
