@@ -99,9 +99,11 @@ def main():
                                 decode_burst=args.decode_burst)
     loop = ServingLoop(batcher)
     srv = make_server(loop, args.host, args.port, tokenizer)
+    mode = ("spec W=%d" % args.spec_window if args.spec_window
+            else "burst N=%d" % args.decode_burst if args.decode_burst
+            else "plain decode")
     print(f"serving {args.model} on http://{args.host}:{args.port} "
-          f"(batch {args.max_batch}, seq {args.max_seq_len}, "
-          f"{'spec W=' + str(args.spec_window) if args.spec_window else 'plain decode'})",
+          f"(batch {args.max_batch}, seq {args.max_seq_len}, {mode})",
           file=sys.stderr)
     try:
         srv.serve_forever()
