@@ -53,7 +53,6 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from arcquant_tpu.config import get_model_config, QuantConfig
     from arcquant_tpu.engine import (InferenceEngine, EngineConfig,
