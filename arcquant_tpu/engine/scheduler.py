@@ -63,6 +63,10 @@ class Request:
     logit_bias: Optional[dict] = None
     # eos is suppressed (logit -inf) until this many tokens exist
     min_new_tokens: int = 0
+    # OpenAI-style repetition controls, recomputed from the output
+    # every step: logits[tok] -= presence + frequency * count(tok)
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # serving metrics (wall-clock, filled by the batcher): admission,
     # first token, completion; preemption count (a preempted request's
     # t_done - t_first includes requeue + re-prefill time, so decode-
@@ -242,14 +246,16 @@ class ContinuousBatcher:
     # -- admission ----------------------------------------------------------
 
     def submit(self, req: Request) -> None:
-        if self.spec_window and (req.logit_bias
-                                 or req.min_new_tokens):
+        if self.spec_window and (req.logit_bias or req.min_new_tokens
+                                 or req.presence_penalty
+                                 or req.frequency_penalty):
             # sampled requests ARE supported (stochastic speculative
             # sampling, spec.sample_verify); bias/min-tokens would
             # need per-POSITION logit edits inside the verify window
             raise ValueError(
-                "logit_bias / min_new_tokens are not supported with "
-                "speculative batching (spec_window=0 supports them)")
+                "logit_bias / min_new_tokens / repetition penalties "
+                "are not supported with speculative batching "
+                "(spec_window=0 supports them)")
         import time
         req.t_submit = time.perf_counter()
         self.queue.append(req)
@@ -275,6 +281,13 @@ class ContinuousBatcher:
                 if (s.eos_id is not None and s.min_new_tokens
                         and len(s.output) < s.min_new_tokens):
                     e.append((int(s.eos_id), -1e9))
+                if s.presence_penalty or s.frequency_penalty:
+                    counts: dict = {}
+                    for t in s.output:
+                        counts[t] = counts.get(t, 0) + 1
+                    e += [(int(t), -(s.presence_penalty
+                                     + s.frequency_penalty * c))
+                          for t, c in counts.items()]
             entries.append(e)
         return entries
 
@@ -635,7 +648,8 @@ class ContinuousBatcher:
         for i, s in enumerate(self.slots):
             if s is None:
                 continue
-            if s.temperature > 0 or s.logit_bias or s.min_new_tokens:
+            if (s.temperature > 0 or s.logit_bias or s.min_new_tokens
+                    or s.presence_penalty or s.frequency_penalty):
                 return 0
             if lens_np is None:
                 lens_np = np.asarray(self.state[2])

@@ -234,15 +234,40 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                 bias = body.get("logit_bias")
                 if bias is not None:
                     bias = {int(t): float(v) for t, v in bias.items()}
-                req = Request(
-                    prompt=[int(t) for t in prompt],
-                    max_new_tokens=int(body.get("max_tokens",
-                                                default_max_tokens)),
-                    eos_id=body.get("eos_id"),
-                    temperature=float(body.get("temperature", 0.0)),
-                    top_p=float(body.get("top_p", 1.0)),
-                    stop=stop, logit_bias=bias,
-                    min_new_tokens=int(body.get("min_tokens", 0)))
+
+                def make_req():
+                    return Request(
+                        prompt=[int(t) for t in prompt],
+                        max_new_tokens=int(body.get(
+                            "max_tokens", default_max_tokens)),
+                        eos_id=body.get("eos_id"),
+                        temperature=float(body.get("temperature",
+                                                   0.0)),
+                        top_p=float(body.get("top_p", 1.0)),
+                        stop=stop, logit_bias=bias,
+                        min_new_tokens=int(body.get("min_tokens", 0)),
+                        presence_penalty=float(
+                            body.get("presence_penalty", 0.0)),
+                        frequency_penalty=float(
+                            body.get("frequency_penalty", 0.0)))
+                req = make_req()
+                n = int(body.get("n", 1))
+                if n > 1:
+                    # n parallel samples of one prompt (enable
+                    # prefix_sharing so the prompt KV is stored once)
+                    reqs = [req] + [make_req() for _ in range(n - 1)]
+                    evs = [loop.submit(r) for r in reqs]
+                    for r, ev in zip(reqs, evs):
+                        if not ev.wait(body.get("timeout")):
+                            raise TimeoutError(
+                                f"request {r.request_id} timed out")
+                    out = {"choices": [
+                        {"request_id": r.request_id,
+                         "tokens": r.output,
+                         **({"error": r.error} if r.error else {})}
+                        for r in reqs]}
+                    self._json(200, out)
+                    return
                 if body.get("stream"):
                     self._stream(req, body.get("timeout"))
                     return

@@ -134,3 +134,54 @@ def test_http_stop_and_bias(setup):
     finally:
         srv.shutdown()
         loop.shutdown()
+
+
+def test_presence_penalty_blocks_repeats(setup):
+    """A huge presence penalty makes greedy output repeat-free (each
+    emitted token is banned afterwards); small penalties leave a
+    non-repeating prefix unchanged."""
+    base = _run_one(setup).output
+    assert len(set(base)) < len(base)      # random weights do repeat
+    got = _run_one(setup, presence_penalty=1e9).output
+    assert len(set(got)) == len(got), got
+    assert got[0] == base[0]               # first token unaffected
+
+
+def test_frequency_penalty_scales_with_count(setup):
+    """frequency_penalty accumulates per occurrence — with a huge
+    value it equals the presence ban; with 0 it changes nothing."""
+    base = _run_one(setup).output
+    a = _run_one(setup, frequency_penalty=1e9).output
+    assert len(set(a)) == len(a)
+    b = _run_one(setup, presence_penalty=0.0,
+                 frequency_penalty=0.0).output
+    assert b == base
+
+
+def test_http_n_parallel_samples(setup):
+    import http.client
+    import json
+    import threading
+    from arcquant_tpu.engine.server import ServingLoop, make_server
+    loop = ServingLoop(ContinuousBatcher(_engine(setup), top_k=8))
+    srv = make_server(loop, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1",
+                                       srv.server_address[1],
+                                       timeout=300)
+        c.request("POST", "/v1/completions", json.dumps(
+            {"prompt": PROMPT, "max_tokens": 5, "n": 3,
+             "temperature": 1.2}))
+        out = json.loads(c.getresponse().read())
+        c.close()
+        assert len(out["choices"]) == 3
+        for ch in out["choices"]:
+            assert len(ch["tokens"]) == 5
+        # hot samples across choices are not all identical
+        toks = [tuple(ch["tokens"]) for ch in out["choices"]]
+        assert len(set(toks)) > 1
+    finally:
+        srv.shutdown()
+        loop.shutdown()
