@@ -177,6 +177,11 @@ class ServingLoop:
         if self._dec_time > 0:
             out["decode_tokens_per_s"] = round(
                 self._dec_tokens / self._dec_time, 1)
+        if b.allocs is not None:
+            out["kv_pages"] = {
+                "capacity": sum(a.capacity for a in b.allocs),
+                "free": sum(len(a.free) for a in b.allocs),
+                "cached": sum(len(a.cached) for a in b.allocs)}
         if b.spec_window:
             out["spec"] = dict(b.spec_stats)
         return out
