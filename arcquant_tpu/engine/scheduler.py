@@ -193,6 +193,7 @@ class ContinuousBatcher:
         self._rng = jax.random.PRNGKey(seed)
         self._sample_jit: dict = {}      # bias-width bucket -> jit
         self._spec_sample_jit = None     # stochastic spec verify
+        self._pen_counts: List[Optional[dict]] = [None] * b
         # spec_window >= 2: decode via greedy SPECULATIVE verify
         # rounds (engine.verify_step) — each step commits 1..W tokens
         # per slot; drafter needs a draft(seq, k) -> k tokens method
@@ -268,7 +269,7 @@ class ContinuousBatcher:
         min_new_tokens eos suppression (eos is -inf-banned until the
         output can reach min_new_tokens)."""
         entries = []
-        for s in self.slots:
+        for i, s in enumerate(self.slots):
             e = []
             if s is not None:
                 if s.logit_bias:
@@ -282,9 +283,7 @@ class ContinuousBatcher:
                         and len(s.output) < s.min_new_tokens):
                     e.append((int(s.eos_id), -1e9))
                 if s.presence_penalty or s.frequency_penalty:
-                    counts: dict = {}
-                    for t in s.output:
-                        counts[t] = counts.get(t, 0) + 1
+                    counts = self._pen_counts[i] or {}
                     e += [(int(t), -(s.presence_penalty
                                      + s.frequency_penalty * c))
                           for t, c in counts.items()]
@@ -429,6 +428,16 @@ class ContinuousBatcher:
             free.remove(slot)
             self.slots[slot] = req
             self._admitted_at[slot] = next(self._stamp)
+            if req.presence_penalty or req.frequency_penalty:
+                # incremental occurrence counts (O(1) per token in
+                # _record_token; re-seeded from output on re-admission
+                # after preemption)
+                c: dict = {}
+                for tk in req.output:
+                    c[tk] = c.get(tk, 0) + 1
+                self._pen_counts[slot] = c
+            else:
+                self._pen_counts[slot] = None
             joining.append((slot, req, start))
         if not joining:
             return
@@ -479,6 +488,7 @@ class ContinuousBatcher:
             self._pt_dirty = True
         self.slots[slot] = None
         self._admitted_at.pop(slot, None)
+        self._pen_counts[slot] = None
 
     def _retire(self, slot: int) -> None:
         import time
@@ -497,6 +507,9 @@ class ContinuousBatcher:
             self._retire(i)
             return False
         req.output.append(tok)
+        c = self._pen_counts[i]
+        if c is not None:
+            c[tok] = c.get(tok, 0) + 1
         if self._hit_stop(req) or len(req.output) >= req.max_new_tokens:
             self._retire(i)
             return False

@@ -255,38 +255,48 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                             body.get("presence_penalty", 0.0)),
                         frequency_penalty=float(
                             body.get("frequency_penalty", 0.0)))
+                def fmt(r):
+                    o = {"request_id": r.request_id,
+                         "tokens": r.output}
+                    if r.error:
+                        o["error"] = r.error
+                    if r.t_first is not None:
+                        o["ttft_s"] = round(r.t_first - r.t_submit, 4)
+                    if tokenizer is not None:
+                        o["text"] = tokenizer.decode(r.output)
+                    return o
+
                 req = make_req()
                 n = int(body.get("n", 1))
                 if n > 1:
+                    if body.get("stream"):
+                        self._json(400, {"error": "n > 1 does not "
+                                         "support stream"})
+                        return
                     # n parallel samples of one prompt (enable
                     # prefix_sharing so the prompt KV is stored once)
                     reqs = [req] + [make_req() for _ in range(n - 1)]
                     evs = [loop.submit(r) for r in reqs]
                     for r, ev in zip(reqs, evs):
                         if not ev.wait(body.get("timeout")):
+                            # a timed-out fan-out must not leak the
+                            # still-running siblings
+                            for rr in reqs:
+                                loop.cancel(rr.request_id)
                             raise TimeoutError(
                                 f"request {r.request_id} timed out")
-                    out = {"choices": [
-                        {"request_id": r.request_id,
-                         "tokens": r.output,
-                         **({"error": r.error} if r.error else {})}
-                        for r in reqs]}
-                    self._json(200, out)
+                    self._json(200, {"choices": [fmt(r)
+                                                 for r in reqs]})
                     return
                 if body.get("stream"):
                     self._stream(req, body.get("timeout"))
                     return
-                loop.complete(req, timeout=body.get("timeout"))
-                out = {"request_id": req.request_id,
-                       "tokens": req.output}
-                if req.t_first is not None:
-                    out["ttft_s"] = round(
-                        req.t_first - req.t_submit, 4)
-                if req.error:
-                    out["error"] = req.error
-                if tokenizer is not None:
-                    out["text"] = tokenizer.decode(req.output)
-                self._json(200, out)
+                try:
+                    loop.complete(req, timeout=body.get("timeout"))
+                except TimeoutError:
+                    loop.cancel(req.request_id)
+                    raise
+                self._json(200, fmt(req))
             except (KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": str(e)})
             except TimeoutError as e:
@@ -332,6 +342,7 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                     break
                 if deadline and time.monotonic() > deadline:
                     req.error = req.error or "stream timeout"
+                    loop.cancel(req.request_id)
                     break
                 time.sleep(0.005)
             final = {"done": True, "request_id": req.request_id,

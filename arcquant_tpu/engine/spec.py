@@ -190,10 +190,10 @@ def sample_verify(logits: jax.Array, drafts: jax.Array,
     against direct sampling).
 
     temperature/top_p may be per-ROW [B] arrays (per-request sampled
-    speculative batching). A temperature-0 row degenerates EXACTLY to
-    the greedy comparator: its warped distribution is a point mass at
-    the argmax, so p(d) is 1 iff d == argmax (always accepted, u < 1
-    strictly) and the residual/bonus sample IS the argmax.
+    speculative batching). Temperature-0 rows take the EXACT greedy
+    comparator (raw-logit argmax acceptance + argmax final token) —
+    not merely the point-mass limit of the warp, which diverges from
+    argmax on exact logit ties.
 
     logits [B, W, V] raw verify logits; drafts [B, W-1].
     Returns (n_acc [B] i32, out_tok [B, W] i32): out_tok[:, :n_acc]
@@ -214,6 +214,14 @@ def sample_verify(logits: jax.Array, drafts: jax.Array,
     ku, kr = jax.random.split(key)
     u = jax.random.uniform(ku, (b, k))
     acc = (u < pd).astype(jnp.int32)
+    # temperature-0 rows take the EXACT greedy comparator (argmax on
+    # raw logits): the point-mass-warp argument breaks on exact logit
+    # ties, where plain argmax deterministically picks the lowest
+    # index but the warped p splits mass across the tied tokens
+    g = jnp.argmax(logits, -1).astype(jnp.int32)         # [B, W]
+    greedy_row = (t <= 0.0)[:, None]
+    acc = jnp.where(greedy_row,
+                    (drafts == g[:, :-1]).astype(jnp.int32), acc)
     n_acc = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
     # final-token logits at position n_acc; a rejection masks the
     # rejected draft out (residual renormalization)
@@ -225,6 +233,9 @@ def sample_verify(logits: jax.Array, drafts: jax.Array,
                    & (jnp.arange(v)[None] == rej_tok[:, None]),
                    -jnp.inf, xl)
     fin = jax.random.categorical(kr, xl).astype(jnp.int32)
+    fin = jnp.where(greedy_row[:, 0],
+                    jnp.take_along_axis(g, n_acc[:, None],
+                                        axis=1)[:, 0], fin)
     out = jnp.concatenate(
         [drafts.astype(jnp.int32), jnp.zeros((b, 1), jnp.int32)],
         axis=1)

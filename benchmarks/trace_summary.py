@@ -37,8 +37,10 @@ def load_events(path: str):
         op = gzip.open if f.endswith(".gz") else open
         with op(f, "rt") as fh:
             data = json.load(fh)
-        yield from data.get("traceEvents", data if
-                            isinstance(data, list) else [])
+        # chrome traces come as {"traceEvents": [...]} or as a bare
+        # JSON array of events
+        yield from (data.get("traceEvents", [])
+                    if isinstance(data, dict) else data)
 
 
 def summarize(events, device_only: bool = True):
