@@ -397,3 +397,24 @@ def test_ondevice_spec_sampled(setup):
                                sampling=SamplingParams(
                                    temperature=0.0))
     assert g == ref, (g, ref)
+
+
+def test_spec_sampled_with_engine_drafter(setup):
+    """A draft MODEL under stochastic verify: the drafter proposes
+    greedily (deterministic given context — a valid point-mass q) and
+    its cache stays coherent across partial acceptance + catch-up.
+    Seed-reproducible, valid tokens, high acceptance at temperature
+    ~0.01 (near-greedy target accepts the greedy drafts)."""
+    from arcquant_tpu.engine import SamplingParams
+    _, _, _, _, eng = setup
+    spec = SpeculativeEngine(_fresh(setup), EngineDrafter(_fresh(setup)),
+                             window=4)
+    sp = SamplingParams(temperature=0.01)
+    a = spec.generate(PROMPTS, max_new_tokens=10, sampling=sp, seed=2)
+    b2 = spec.generate(PROMPTS, max_new_tokens=10, sampling=sp,
+                       seed=2)
+    assert a == b2
+    v = setup[0].vocab_size
+    assert all(0 <= t < v for row in a for t in row)
+    # near-greedy target + greedy self-drafts: most drafts accepted
+    assert spec.stats["accepted"] > spec.stats["rounds"]
