@@ -81,6 +81,22 @@ def sample(logits: jax.Array, key: jax.Array, temperature=1.0,
     return jnp.where(t <= 0.0, greedy, sampled)
 
 
+def sample_with_keys(logits: jax.Array, keys: jax.Array,
+                     temperature=1.0, top_k: int = 0,
+                     top_p=1.0) -> jax.Array:
+    """Like sample(), but with an INDEPENDENT PRNG key per row
+    (keys [B, 2] u32). Per-request seeded sampling under continuous
+    batching derives row keys from (request seed, tokens generated),
+    so a request's sampled stream is reproducible regardless of what
+    else shares the batch."""
+    b, v = logits.shape
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    x = warp_logits(logits, temperature, top_k, top_p)
+    sampled = jax.vmap(jax.random.categorical)(keys, x)
+    return jnp.where(t <= 0.0, greedy, sampled.astype(jnp.int32))
+
+
 def sample_p(logits: jax.Array, key: jax.Array,
              p: SamplingParams) -> jax.Array:
     return sample(logits, key, p.temperature, p.top_k, p.top_p)

@@ -67,6 +67,11 @@ class Request:
     # every step: logits[tok] -= presence + frequency * count(tok)
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # per-request sampling seed: row keys derive from (seed, tokens
+    # generated so far), making this request's sampled stream
+    # reproducible REGARDLESS of batch composition (None = draw from
+    # the batcher's shared stream)
+    seed: Optional[int] = None
     # serving metrics (wall-clock, filled by the batcher): admission,
     # first token, completion; preemption count (a preempted request's
     # t_done - t_first includes requeue + re-prefill time, so decode-
@@ -249,14 +254,15 @@ class ContinuousBatcher:
     def submit(self, req: Request) -> None:
         if self.spec_window and (req.logit_bias or req.min_new_tokens
                                  or req.presence_penalty
-                                 or req.frequency_penalty):
+                                 or req.frequency_penalty
+                                 or req.seed is not None):
             # sampled requests ARE supported (stochastic speculative
             # sampling, spec.sample_verify); bias/min-tokens would
             # need per-POSITION logit edits inside the verify window
             raise ValueError(
                 "logit_bias / min_new_tokens / repetition penalties "
-                "are not supported with speculative batching "
-                "(spec_window=0 supports them)")
+                "/ per-request seeds are not supported with "
+                "speculative batching (spec_window=0 supports them)")
         import time
         req.t_submit = time.perf_counter()
         self.queue.append(req)
@@ -313,21 +319,37 @@ class ContinuousBatcher:
         for i, e in enumerate(entries):
             for j, (t, v) in enumerate(e):
                 bt[i, j], bv[i, j] = t, v
+        has_seed = np.asarray([s is not None and s.seed is not None
+                               for s in self.slots])
+        seeds = np.asarray([s.seed if (s and s.seed is not None)
+                            else 0 for s in self.slots], np.int32)
+        steps = np.asarray([len(s.output) if s else 0
+                            for s in self.slots], np.int32)
         if mb not in self._sample_jit:
-            from .sampling import sample
+            from .sampling import sample_with_keys
             tk = self.top_k
 
-            def f(lg, k, t, p, bt, bv):
-                rows = jnp.arange(lg.shape[0])[:, None]
+            def f(lg, k, t, p, bt, bv, hs, sd, st):
+                rows = jnp.arange(lg.shape[0])
                 safe = jnp.where(bt >= 0, bt, 0)
                 add = jnp.where(bt >= 0, bv, 0.0)
-                lg = lg.at[rows, safe].add(add)
-                return sample(lg, k, t, tk, p)
+                lg = lg.at[rows[:, None], safe].add(add)
+                # per-row keys: seeded rows derive from (seed, step)
+                # — batch-composition-independent; the rest fold the
+                # row index into the batcher's stream
+                kb = jax.vmap(lambda i: jax.random.fold_in(k, i))(
+                    rows)
+                ks = jax.vmap(lambda s_, t_: jax.random.fold_in(
+                    jax.random.PRNGKey(s_), t_))(sd, st)
+                keys = jnp.where(hs[:, None], ks, kb)
+                return sample_with_keys(lg, keys, t, tk, p)
             self._sample_jit[mb] = jax.jit(f)
         self._rng, sk = jax.random.split(self._rng)
         return np.asarray(self._sample_jit[mb](
             logits, sk, jnp.asarray(temps), jnp.asarray(tps),
-            jnp.asarray(bt), jnp.asarray(bv)), np.int32)
+            jnp.asarray(bt), jnp.asarray(bv),
+            jnp.asarray(has_seed), jnp.asarray(seeds),
+            jnp.asarray(steps)), np.int32)
 
     def _map_pages(self, slot: int, pages: List[int]) -> None:
         """Record newly allocated pages in the host page table."""

@@ -254,7 +254,10 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
                         presence_penalty=float(
                             body.get("presence_penalty", 0.0)),
                         frequency_penalty=float(
-                            body.get("frequency_penalty", 0.0)))
+                            body.get("frequency_penalty", 0.0)),
+                        seed=(int(body["seed"])
+                              if body.get("seed") is not None
+                              else None))
                 def fmt(r):
                     o = {"request_id": r.request_id,
                          "tokens": r.output}

@@ -185,3 +185,38 @@ def test_http_n_parallel_samples(setup):
     finally:
         srv.shutdown()
         loop.shutdown()
+
+
+def test_per_request_seed_batch_independent(setup):
+    """A seeded sampled request produces the SAME tokens no matter
+    what else shares the batch or what the batcher's own seed is —
+    row keys derive from (request seed, tokens generated), not the
+    shared stream."""
+    def run(batcher_seed, companions):
+        bt = ContinuousBatcher(_engine(setup), top_k=8,
+                               seed=batcher_seed)
+        target = Request(prompt=list(PROMPT), max_new_tokens=8,
+                         temperature=1.0, seed=1234)
+        bt.submit(target)
+        for c in companions:
+            bt.submit(c)
+        bt.run()
+        return target.output
+
+    alone = run(0, [])
+    with_greedy = run(7, [Request(prompt=[9, 9, 9],
+                                  max_new_tokens=8)])
+    with_hot = run(99, [Request(prompt=[3, 1, 4], max_new_tokens=8,
+                                temperature=1.5)])
+    assert alone == with_greedy == with_hot, (alone, with_greedy,
+                                              with_hot)
+    # a different request seed gives a different stream
+    def run_seed(seed):
+        bt = ContinuousBatcher(_engine(setup), top_k=8)
+        r = Request(prompt=list(PROMPT), max_new_tokens=8,
+                    temperature=1.0, seed=seed)
+        bt.submit(r)
+        bt.run()
+        return r.output
+    assert run_seed(1234) == alone
+    assert run_seed(4321) != alone
