@@ -157,6 +157,18 @@ MODEL_CONFIGS = {
         max_position_embeddings=131072, rope_scaling_factor=8.0),
     # --- scale-out target (BASELINE.md) ---
     "qwen2.5-72b": _qwen2("qwen2.5-72b", 8192, 29568, 80, 64, 8),
+    # --- small same-tokenizer companions: EngineDrafter draft models
+    # for speculative decoding (qwen2.5-0.5b drafts for 7b/14b/32b/
+    # 72b; llama-3.2-1b for llama-3.1-8b) ---
+    "qwen2.5-0.5b": _qwen2("qwen2.5-0.5b", 896, 4864, 24, 14, 2,
+                           vocab=151936),
+    "qwen2.5-1.5b": _qwen2("qwen2.5-1.5b", 1536, 8960, 28, 12, 2,
+                           vocab=151936),
+    "llama-3.2-1b": ModelConfig(
+        name="llama-3.2-1b", vocab_size=128256, hidden_size=2048,
+        intermediate_size=8192, num_layers=16, num_heads=32,
+        num_kv_heads=8, rope_theta=500000.0, rms_eps=1e-5,
+        max_position_embeddings=131072, rope_scaling_factor=32.0),
     # --- MoE families (beyond the reference, which is dense-only;
     # expert weights dominate memory -> the natural W4 + ep target) ---
     "mixtral-8x7b": ModelConfig(
