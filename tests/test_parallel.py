@@ -698,3 +698,32 @@ def test_tp_generate_ondevice_rejected():
     spec = SpeculativeEngine(eng, NgramDrafter(), window=3)
     with pytest.raises(ValueError, match="single-chip"):
         spec.generate_ondevice([[1, 2, 3]], 4)
+
+
+def test_tp_batcher_decode_burst():
+    """Multi-step decode bursts over the TP engine (batcher calls the
+    sharded decode_scan): token-identical to per-step TP batching."""
+    from arcquant_tpu.engine import (EngineConfig, ContinuousBatcher,
+                                     Request)
+    from arcquant_tpu.parallel.tp_engine import TPInferenceEngine
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    mesh = make_mesh(dp=len(jax.devices()) // 2, tp=2)
+
+    def run(burst):
+        eng = TPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+        bt = ContinuousBatcher(eng, decode_burst=burst)
+        reqs = [Request(prompt=[5, 17, 301, 42, 8],
+                        max_new_tokens=10),
+                Request(prompt=[100, 200, 7], max_new_tokens=7)]
+        for r in reqs:
+            bt.submit(r)
+        bt.run()
+        return [r.output for r in reqs]
+
+    assert run(4) == run(0)
