@@ -727,3 +727,35 @@ def test_tp_batcher_decode_burst():
         return [r.output for r in reqs]
 
     assert run(4) == run(0)
+
+
+def test_pp_batcher_spec_and_burst():
+    """Batcher x PP engine: speculative rounds and decode bursts over
+    the pipeline-parallel relay are token-identical to per-step PP
+    batching (the batcher is engine-agnostic; PP owns per-stage KV)."""
+    from arcquant_tpu.engine import (EngineConfig, ContinuousBatcher,
+                                     Request)
+    from arcquant_tpu.parallel.pp_engine import PPInferenceEngine
+    from jax.sharding import Mesh
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       act_scale="row", w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("pp",))
+
+    def run(**kw):
+        eng = PPInferenceEngine(cfg, params, calib, qcfg, ecfg, mesh)
+        bt = ContinuousBatcher(eng, **kw)
+        reqs = [Request(prompt=[1, 2, 3, 4] * 5, max_new_tokens=8),
+                Request(prompt=[100, 200, 7], max_new_tokens=6)]
+        for r in reqs:
+            bt.submit(r)
+        bt.run()
+        return [r.output for r in reqs]
+
+    base = run()
+    assert run(spec_window=3) == base
+    assert run(decode_burst=4) == base
