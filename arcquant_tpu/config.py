@@ -41,6 +41,14 @@ class QuantConfig:
     # Packed weight storage: "w8" (i8 codes, fastest decode) or
     # "w4" (nibble-packed, max compression). Same NVFP4 numerics.
     weight_fmt: str = "w8"
+    # Activation precision: 4 = NVFP4 activations (+ ARC residuals,
+    # the reference's W4A4 design); 16 = WEIGHT-ONLY quantization
+    # (W4A16): activations stay bf16 with a unit global scale — the
+    # same trick the quantized LM head uses. The ARC residual slots
+    # carry exact zeros (ARC corrects ACTIVATION quantization error,
+    # which W4A16 does not incur), so packed weights are reused
+    # unchanged and the GEMM is bit-defined either way.
+    act_bits: int = 4
     # Activation global-scale granularity: "tensor" (reference parity,
     # qLlamaLayer.py:73-77) or "row" (per-token scales — finer, and
     # sequences in a batch quantize independently; the serving engine

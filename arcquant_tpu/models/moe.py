@@ -263,6 +263,11 @@ def moe_block(cfg: ModelConfig, p: Params, x: jax.Array,
     activations; expert GEMMs run quantized when qcfg says so. The
     Qwen-MoE shared expert (dense FFN + sigmoid gate on the raw
     hidden state) is added outside the routed sum."""
+    if qcfg is not None and qcfg.act_bits != 4 \
+            and qcfg.quant_type != "BF16":
+        raise ValueError(
+            "W4A16 (act_bits=16) is not wired through the MoE expert "
+            "paths yet; dense models (incl. the PP engine) support it")
     b, t, d = x.shape
     dtype = x.dtype
     x2 = x.reshape(b * t, d)

@@ -206,6 +206,19 @@ def _act_quantize(x2d: jax.Array, calib: SiteCalib, qcfg: QuantConfig):
     scaled units, global_scale — scalar or [M, 1] per qcfg.act_scale)."""
     if qcfg.quant_type == "BF16":
         return x2d, jnp.float32(1.0)
+    if qcfg.act_bits == 16:
+        # W4A16: exact bf16 activations, unit scale, zero ARC
+        # residual (there is no activation quantization error to
+        # correct) — padded to the packed weight's augmented width
+        k = x2d.shape[1]
+        if qcfg.use_kernels:
+            from ..quant import packing
+            width = packing.pad_kq(k, calib.select_num)
+        else:
+            width = k + calib.select_num
+        xa = jnp.pad(x2d.astype(jnp.bfloat16),
+                     ((0, 0), (0, width - k)))
+        return xa, jnp.float32(1.0)
     per_row = qcfg.act_scale == "row"
     if qcfg.use_kernels and qcfg.quant_type == "NVFP4":
         from ..kernels import quantize as qk

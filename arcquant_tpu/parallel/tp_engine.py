@@ -89,6 +89,8 @@ class TPInferenceEngine(InferenceEngine):
             f"tp={tp} must divide num_kv_heads={cfg.num_kv_heads}")
         assert qcfg.use_kernels and qcfg.quant_type == "NVFP4", \
             "TP engine supports the packed NVFP4 path"
+        assert qcfg.act_bits == 4, \
+            "TP engine: A4 activations only (W4A16 is single-chip/PP)"
         self.mesh = mesh
         self.tp = tp
         repl = NamedSharding(mesh, P())

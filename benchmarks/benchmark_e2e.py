@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--weight_fmt", default="w8", choices=["w4", "w8"])
+    ap.add_argument("--act_bits", type=int, default=4,
+                    choices=[4, 16],
+                    help="16 = W4A16 (weight-only; skips the "
+                    "activation-quantize sites)")
     ap.add_argument("--quant", default="NVFP4",
                     choices=["NVFP4", "BF16"],
                     help="BF16 runs the unquantized engine (baseline)")
@@ -90,7 +94,7 @@ def main():
         cfg = cfg.replace(num_layers=args.layers)
     qcfg = QuantConfig(quant_type=args.quant, use_kernels=True,
                        weight_fmt=args.weight_fmt, act_scale="row",
-                       w_scale="channel",
+                       w_scale="channel", act_bits=args.act_bits,
                        quantize_lm_head=args.quant_head)
     calib = quantized.identity_calib(cfg, select_frac=args.select_frac)
     max_seq = args.prefill_seq_len + args.decode_steps + 8

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--quant_type", default="NVFP4",
                     choices=["NVFP4", "MXFP4", "MXFP6", "INT4", "BF16"])
     ap.add_argument("--weight_fmt", default="w8", choices=["w4", "w8"])
+    ap.add_argument("--act_bits", type=int, default=4,
+                    choices=[4, 16],
+                    help="16 = W4A16 weight-only quantization "
+                    "(activations exact bf16)")
     ap.add_argument("--act_scale", default="tensor",
                     choices=["tensor", "row"])
     ap.add_argument("--use_kernels", action="store_true",
@@ -82,6 +86,7 @@ def main():
     qcfg = QuantConfig(
         quant_type=args.quant_type, use_kernels=args.use_kernels,
         weight_fmt=args.weight_fmt, act_scale=args.act_scale,
+        act_bits=args.act_bits,
         kv_quant=args.kv_cache, kv_group_size=args.kv_group_size)
 
     os.makedirs("./results", exist_ok=True)
