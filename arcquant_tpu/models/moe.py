@@ -124,6 +124,30 @@ def _stacked_linear(qp: Params, x: jax.Array, gx,
                       ).astype(x.dtype)
 
 
+def _a16_pad(x: jax.Array, select_num: int, kernel_pack: bool):
+    """W4A16 site activation: exact bf16, unit scale, zero ARC
+    residual slots, padded to the weight's augmented width (packed kq
+    when the weight is a PackedWeight / a dequantized pack; K+KE for
+    unpadded qdq stacks)."""
+    k = x.shape[-1]
+    if kernel_pack:
+        from ..quant import packing
+        width = packing.pad_kq(k, select_num)
+    else:
+        width = k + select_num
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, width - k)]
+    return jnp.pad(x.astype(jnp.bfloat16), pad), jnp.float32(1.0)
+
+
+def _qx_kernel(x2: jax.Array, c, qcfg: QuantConfig):
+    """Kernel-path site quantizer honoring act_bits (kq-padded)."""
+    if qcfg.act_bits == 16:
+        return _a16_pad(x2, c.select_num, kernel_pack=True)
+    from ..kernels import quantize as qk
+    return qk.quantize_x_arc(x2, c.reorder_index, c.select_num,
+                             per_row=qcfg.act_scale == "row")
+
+
 def _quantize_inter(inter: jax.Array, calib, qcfg: Optional[QuantConfig],
                     gs_reduce=None):
     """Re-quantize the silu(g)*u intermediate for the down projection.
@@ -133,6 +157,9 @@ def _quantize_inter(inter: jax.Array, calib, qcfg: Optional[QuantConfig],
     shard-local by construction and never reduced)."""
     if qcfg is None or qcfg.quant_type == "BF16":
         return inter, jnp.float32(1.0)
+    if qcfg.act_bits == 16:
+        # unit scale on every shard — cross-shard agreement is trivial
+        return _a16_pad(inter, calib.select_num, kernel_pack=False)
     from ..quant import arc
     per_row = qcfg.act_scale == "row"
     lead = inter.shape[:-1]
@@ -263,11 +290,6 @@ def moe_block(cfg: ModelConfig, p: Params, x: jax.Array,
     activations; expert GEMMs run quantized when qcfg says so. The
     Qwen-MoE shared expert (dense FFN + sigmoid gate on the raw
     hidden state) is added outside the routed sum."""
-    if qcfg is not None and qcfg.act_bits != 4 \
-            and qcfg.quant_type != "BF16":
-        raise ValueError(
-            "W4A16 (act_bits=16) is not wired through the MoE expert "
-            "paths yet; dense models (incl. the PP engine) support it")
     b, t, d = x.shape
     dtype = x.dtype
     x2 = x.reshape(b * t, d)
@@ -277,20 +299,20 @@ def moe_block(cfg: ModelConfig, p: Params, x: jax.Array,
             and "gateup_pk" in p:
         # packed experts (W4-at-rest): kernel quantizer, Kq-padded to
         # the packed layout
-        from ..kernels import quantize as qk
         c_in = layer_calib["mlp_in"]
-        xa, gx = qk.quantize_x_arc(
-            x2, c_in.reorder_index, c_in.select_num,
-            per_row=qcfg.act_scale == "row")
+        xa, gx = _qx_kernel(x2, c_in, qcfg)
         calib_down = layer_calib["down_in"]
     elif qcfg is not None and qcfg.quant_type != "BF16":
         # qdq stacks: unpadded qdq activation path (weights here are
         # unpadded w_aug stacks)
-        from ..quant import arc
         c_in = layer_calib["mlp_in"]
-        xa, gx = arc.arc_quantize_x_qdq(
-            x2, c_in.reorder_index, c_in.select_num, qcfg.quant_type,
-            per_row=qcfg.act_scale == "row")
+        if qcfg.act_bits == 16:
+            xa, gx = _a16_pad(x2, c_in.select_num, kernel_pack=False)
+        else:
+            from ..quant import arc
+            xa, gx = arc.arc_quantize_x_qdq(
+                x2, c_in.reorder_index, c_in.select_num,
+                qcfg.quant_type, per_row=qcfg.act_scale == "row")
         calib_down = layer_calib["down_in"]
     else:
         xa, gx, calib_down, qcfg = x2, jnp.float32(1.0), None, None
@@ -328,10 +350,7 @@ def _shared_expert(p: Params, x2: jax.Array, xa: jax.Array, gx,
     sc = layer_calib["sdown_in"]
     if not isinstance(p["sdown"], dict):
         # packed sdown: kernel quantizer (Kq-padded to the pack)
-        from ..kernels import quantize as qk
-        ia, gi = qk.quantize_x_arc(inter, sc.reorder_index,
-                                   sc.select_num,
-                                   per_row=qcfg.act_scale == "row")
+        ia, gi = _qx_kernel(inter, sc, qcfg)
     else:
         ia, gi = _quantize_inter(inter, sc, qcfg)
     return Q._q_linear(p["sdown"], ia, gi, qcfg, jnp.bfloat16)
@@ -408,9 +427,7 @@ def _ffn_dense_packed(p: Params, xa: jax.Array, gx, cw: jax.Array,
     if taps is not None:
         taps["down_in"] = inter * (cw > 0)[:, :, None].astype(inter.dtype)
     inter_e = inter.transpose(1, 0, 2).reshape(e * t, f)
-    ia, gi = qk.quantize_x_arc(inter_e, calib_down.reorder_index,
-                               calib_down.select_num,
-                               per_row=qcfg.act_scale == "row")
+    ia, gi = _qx_kernel(inter_e, calib_down, qcfg)
     ia = ia.reshape(e, t, -1)
     if isinstance(gi, jax.Array) and gi.ndim == 2:
         gi = gi.reshape(e, t, 1)
@@ -459,9 +476,7 @@ def _ffn_dispatch_packed(p: Params, xa: jax.Array, gx, cw: jax.Array,
     def requant(inter, calib, _qcfg, gs_reduce=None):
         lead = inter.shape[:-1]
         flat = inter.reshape(-1, inter.shape[-1])
-        ia, gi = qk.quantize_x_arc(flat, calib.reorder_index,
-                                   calib.select_num,
-                                   per_row=qcfg.act_scale == "row")
+        ia, gi = _qx_kernel(flat, calib, qcfg)
         if w4:
             ia = gk.split_even_odd(ia)
         ia = ia.reshape(*lead, ia.shape[-1])

@@ -94,11 +94,15 @@ def ep_moe_block(cfg: ModelConfig, p_local: Params, x: jax.Array,
                                           axis=1)          # [T, E/ep]
 
     if qcfg is not None and qcfg.quant_type != "BF16":
-        from ..quant import arc
         c_in = layer_calib["mlp_in"]
-        xa, gx = arc.arc_quantize_x_qdq(
-            x2, c_in.reorder_index, c_in.select_num, qcfg.quant_type,
-            per_row=qcfg.act_scale == "row")
+        if qcfg.act_bits == 16:
+            xa, gx = moe._a16_pad(x2, c_in.select_num,
+                                  kernel_pack=False)
+        else:
+            from ..quant import arc
+            xa, gx = arc.arc_quantize_x_qdq(
+                x2, c_in.reorder_index, c_in.select_num,
+                qcfg.quant_type, per_row=qcfg.act_scale == "row")
         calib_down = layer_calib["down_in"]
     else:
         xa, gx, calib_down, qcfg = x2, jnp.float32(1.0), None, None

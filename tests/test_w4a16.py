@@ -101,9 +101,9 @@ def test_w4a16_closer_to_bf16_than_w4a4(setup):
     assert e16 < e4, (e16, e4)
 
 
-def test_w4a16_generate_and_guards(setup):
-    """Engine generation runs under W4A16; MoE and TP reject it with
-    clear errors."""
+def test_w4a16_generate_and_tp_guard(setup):
+    """Engine generation runs under W4A16; the TP engine (A4-only for
+    now) rejects it with a clear error."""
     cfg, params, tokens = setup
     calib = quantized.identity_calib(cfg, select_frac=0.0)
     q_eng = _qcfg(act_bits=16, use_kernels=True)
@@ -114,16 +114,6 @@ def test_w4a16_generate_and_guards(setup):
     assert len(out[0]) == 5
     assert all(0 <= t < cfg.vocab_size for t in out[0])
 
-    cfg_moe = get_model_config("test-tiny-moe")
-    p_moe = llama.init_params(cfg_moe, jax.random.PRNGKey(1),
-                              jnp.float32)
-    c_moe = quantized.identity_calib(cfg_moe, select_frac=0.0)
-    with pytest.raises(ValueError, match="W4A16"):
-        quantized.quant_model_forward(
-            cfg_moe,
-            quantized.quantize_model_params(cfg_moe, p_moe, c_moe,
-                                            _qcfg(act_bits=16)),
-            c_moe, _qcfg(act_bits=16), tokens[:, :4])
     if len(jax.devices()) >= 2:
         from arcquant_tpu.parallel import make_mesh
         from arcquant_tpu.parallel.tp_engine import TPInferenceEngine
@@ -134,3 +124,34 @@ def test_w4a16_generate_and_guards(setup):
                 EngineConfig(max_batch=2, max_seq_len=32,
                              page_size=16),
                 make_mesh(dp=len(jax.devices()) // 2, tp=2))
+
+
+def test_w4a16_moe(setup):
+    """MoE under W4A16: the qdq accuracy path is closer to bf16 than
+    W4A4, and the packed-expert engine serves it (both weight
+    formats' layouts honored — split-half w4 pairing included)."""
+    cfg = get_model_config("test-tiny-moe")
+    params = llama.init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    tokens = jnp.asarray(
+        np.random.RandomState(6).randint(0, cfg.vocab_size, (2, 12)),
+        jnp.int32)
+    calib = quantized.identity_calib(cfg, select_frac=0.125)
+    base = llama.model_forward(cfg, params, tokens)
+
+    def err(act_bits):
+        q = _qcfg(act_bits=act_bits)
+        qp = quantized.quantize_model_params(cfg, params, calib, q)
+        out = quantized.quant_model_forward(cfg, qp, calib, q, tokens)
+        return float(jnp.mean((out - base) ** 2))
+
+    e16, e4 = err(16), err(4)
+    assert e16 < e4, (e16, e4)
+
+    for fmt in ("w8", "w4"):
+        q_eng = _qcfg(act_bits=16, use_kernels=True, weight_fmt=fmt)
+        eng = InferenceEngine(cfg, params, calib, q_eng,
+                              EngineConfig(max_batch=2, max_seq_len=64,
+                                           page_size=16))
+        out = eng.generate([[5, 17, 301, 42]], max_new_tokens=4)
+        assert len(out[0]) == 4, fmt
+        assert all(0 <= t < cfg.vocab_size for t in out[0]), fmt
