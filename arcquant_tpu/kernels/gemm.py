@@ -240,9 +240,10 @@ def _gemm_w8_dma_kernel(gs_ref, gw_ref, x_ref, s_ref, bias_ref,
 
         dma(slot, i).wait()
         w = c_s[slot].astype(jnp.float32)              # [bk, bn]
+        # NB: slice the REF (dynamic load), not the loaded value —
+        # Mosaic TC has no lowering for dynamic_slice on values.
         s = _decode_ue4m3_f32(
-            jax.lax.dynamic_slice_in_dim(
-                s_ref[:], i * (bk // 16), bk // 16, 0)
+            s_ref[pl.ds(i * (bk // 16), bk // 16), :]
             .astype(jnp.int32)) * 0.5
         w = (w.reshape(bk // 16, 16, bn) * s[:, None, :]).reshape(
             bk, bn).astype(jnp.bfloat16)
