@@ -204,10 +204,12 @@ def _gemm_w8_kernel(gs_ref, gw_ref, x_ref, codes_ref, scales_ref,
 # (the paged_decode.py trick applied to the weight stream), collapsing
 # the grid to (N/bn,) programs with one fori_loop over k. Numerics are
 # identical to _gemm_w8_kernel (same decode + mul3d scale expressions).
-# Enabled for M <= ARC_GEMM_DMA_M (0 disables; default off until the
-# on-chip A/B in benchmarks/gemm_lab.py --exp dma lands).
+# Enabled for M <= ARC_GEMM_DMA_M (0 disables) on square weights only
+# (see the shape gate in gemm_dequant) — promoted after the on-chip
+# A/B (gemm_lab --exp dmaprod, results/r3/dmaprod.log): o-proj
+# 15.26 us vs fused 21.82 at bit-exact output.
 _DMA_M_ENV = "ARC_GEMM_DMA_M"
-_DMA_M_DEFAULT = 0
+_DMA_M_DEFAULT = 64
 _DMA_NBUF = 3
 
 
@@ -660,7 +662,12 @@ def gemm_dequant(xa: jax.Array,
             pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
         return _gemm_xla(xa, pw, scales_u8, gs, gw, out_dtype)
     dm = _dma_dispatch_m()
-    if (fmt == "w8" and dm and m <= dm
+    # Shape gate: on-chip (results/r3/dmaprod.log) the manual-DMA
+    # stream only beats the auto-pipelined kernel on SQUARE weights
+    # (o-proj 3584x3584: 15.3 vs 21.8 us — 109% of the weight-stream
+    # floor); tall/wide shapes (qkv 66%, gateup 71%, down 83%) lose to
+    # the fused kernel's pipelining, so they stay on it.
+    if (fmt == "w8" and dm and m <= dm and kq == n
             and bm == 0 and bn == 0 and bk == 0):
         scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
                      jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
