@@ -261,24 +261,29 @@ def _gemm_w8_dma_kernel(gs_ref, gw_ref, x_ref, s_ref, bias_ref,
 
 
 def _dma_blocks_w8(kq: int, n: int, nbuf: int):
-    """(bk, bn) for the manual-DMA kernel: bk the largest divisor of kq
-    <= 2048 that is a multiple of 512 (falls back to best_k_block), bn
-    the largest 128-multiple divisor of n keeping nbuf slots + the bf16
-    decode transient within ~8 MB of VMEM."""
-    bk = 0
-    for c in (2048, 1536, 1024, 512):
-        if kq % c == 0:
-            bk = c
-            break
-    if bk == 0:
+    """(bk, bn) for the manual-DMA kernel. On-chip sweep at M=32
+    N=K=4096 (results/r3, same-process bench_op):
+      bk=512 bn=1024 -> 18.2 us (119% of the 819 GB/s nominal floor)
+      bk=512 bn=4096 -> 21.2   bk=512 bn=2048 -> 23.4
+      bk=1024 bn=2048 -> 25.2  bk=2048 bn=512 -> 40.7
+    Small k-stripes with a ~0.5 MB slot win decisively (the DMA
+    engine sustains >nominal bandwidth on shallow-wide stripes); big
+    bk starves the first matmul and thrashes VMEM. So: bk = 512 when
+    it divides kq (fallback best_k_block), bn = the 128-multiple
+    divisor of n closest to 1024."""
+    if kq % 512 == 0:
+        bk = 512
+    else:
         from ..quant.packing import best_k_block
         bk = best_k_block(kq) or _pick_block(kq, (256, 128, 64))
     cap = 8 * 2 ** 20 // (nbuf + 2)  # i8 slots + bf16 decode transient
-    bn = 0
+    bn, best = 0, None
     d = 128
     while d <= n:
         if n % d == 0 and d * bk <= cap:
-            bn = d
+            score = abs(d - 1024)
+            if best is None or score < best:
+                bn, best = d, score
         d += 128
     if bn == 0:
         bn = _pick_block(n, (512, 256, 128))
