@@ -658,7 +658,13 @@ def gemm_dequant(xa: jax.Array,
     m = xa.shape[0]
     kq, n = pw.kq, pw.n
     xm = _xla_dispatch_m()
-    if bm == 0 and bn == 0 and bk == 0 and xm and m >= xm:
+    # Shape gate (round-3 on-chip prefill profile, M=4096): the XLA
+    # path pays one weight-decode pass (∝ kq·n) + the x row-major pin
+    # (∝ m·kq); the fused kernel pays ~10% MXU inefficiency (∝ flops).
+    # For tall-K/narrow-N weights (down: 18944×3584) the fixed passes
+    # lose: fused 3.92 ms vs XLA 4.62 ms; every n >= kq shape prefers
+    # XLA (qkv 0.805 vs 0.875, o 0.623 vs 0.726, gateup 6.56 vs 7.10).
+    if bm == 0 and bn == 0 and bk == 0 and xm and m >= xm and n >= kq:
         scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
                      jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
         gx = jnp.asarray(gx, jnp.float32)

@@ -17,11 +17,25 @@ scalar.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..quant import numerics as N
 from ..quant import packing
+
+
+@functools.lru_cache()
+def _actq_chunk() -> int:
+    """Column-chunk width for the activation qdq. At K=18944 the
+    single fused XLA region spills f32 intermediates to HBM (42 ps/
+    elem vs 15 at K=3584 — round-3 prefill profile: 3.3 ms of the
+    8 ms/layer prefill gap is this one site); group qdq is column-
+    independent, so chunking to ~K=4736 restores per-chunk fusion
+    bit-exactly. 0 disables."""
+    return int(os.environ.get("ARC_ACTQ_CHUNK", "8192"))
 
 
 def _nvfp4_qdq_scaled(xs: jax.Array) -> jax.Array:
@@ -53,13 +67,26 @@ def quantize_x_arc(x: jax.Array, reorder_index: jax.Array,
     if kq is None:
         kq = packing.pad_kq(k, select_num)
     gx = N.nvfp4_global_scale(x, per_row=per_row)
-    xs = x.astype(jnp.float32) / gx
-    qx = _nvfp4_qdq_scaled(xs)
+    chunk = _actq_chunk()
+    if chunk and k > chunk and m >= 256:
+        # split to <=chunk-wide column blocks at group (16) boundaries;
+        # qdq(x[:, c]/gx) per chunk == qdq(x/gx)[:, c] exactly
+        n_c = -(-k // chunk)
+        cw = -(-(k // n_c) // 16) * 16
+        qx = jnp.concatenate(
+            [_nvfp4_qdq_scaled(x[:, s:min(s + cw, k)].astype(jnp.float32)
+                               / gx)
+             for s in range(0, k, cw)], axis=1)
+    else:
+        qx = _nvfp4_qdq_scaled(x.astype(jnp.float32) / gx)
     parts = [qx]
     if select_num:
         idx = reorder_index[-select_num:].astype(jnp.int32)
-        err = xs - qx
-        parts.append(_nvfp4_qdq_scaled(jnp.take(err, idx, axis=1)))
+        # take-then-subtract == subtract-then-take (elementwise), so the
+        # full-width err tensor is never materialized
+        err = (jnp.take(x, idx, axis=1).astype(jnp.float32) / gx
+               - jnp.take(qx, idx, axis=1).astype(jnp.float32))
+        parts.append(_nvfp4_qdq_scaled(err))
     pad = kq - k - select_num
     if pad:
         parts.append(jnp.zeros((m, pad), jnp.float32))

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""On-chip A/B lab for the activation-quantize sites + the prefill
+pieces the component profile does not cover (KV page append, RoPE,
+residual/take glue).
+
+Round-3 prefill profile found quantize_x at K=18944 costs 3.3 ms at
+M=4096 (42 ps/elem vs 15 at K=3584): the single fused XLA region
+spills f32 intermediates. ARC_ACTQ_CHUNK column-chunks the group qdq
+(bit-exact; groups are column-independent). This lab measures the
+chunk-width sweep plus the unprofiled prefill pieces.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from arcquant_tpu.config import get_model_config
+from arcquant_tpu.models import llama
+from arcquant_tpu.utils.timing import bench_op
+
+
+def main():
+    cfg = get_model_config("qwen2.5-7b")
+    b, t = 4, 1024
+    m = b * t
+    d, inter = cfg.hidden_size, cfg.intermediate_size
+    key = jax.random.PRNGKey(0)
+
+    from arcquant_tpu.kernels import quantize as qk
+
+    def rec(name, f, *a, n1=4, n2=20):
+        dt = bench_op(f, *a, n1=n1, n2=n2)
+        print(f"{name:42s} {dt*1e3:9.3f} ms", flush=True)
+        return dt
+
+    xi = jax.random.normal(key, (m, inter), jnp.bfloat16)
+    x = jax.random.normal(key, (m, d), jnp.bfloat16)
+    ridx_i = jnp.arange(inter, dtype=jnp.int32)
+    ridx_d = jnp.arange(d, dtype=jnp.int32)
+
+    for chunk in (0, 9472, 8192, 4096, 2368):
+        os.environ["ARC_ACTQ_CHUNK"] = str(chunk)
+        qk._actq_chunk.cache_clear()
+        rec(f"quantize_x K=18944 chunk={chunk}", lambda xx: qk.quantize_x_arc(
+            xx, ridx_i, 0, per_row=True)[0], xi)
+    for chunk in (0, 2368):
+        os.environ["ARC_ACTQ_CHUNK"] = str(chunk)
+        qk._actq_chunk.cache_clear()
+        rec(f"quantize_x K=3584 chunk={chunk}", lambda xx: qk.quantize_x_arc(
+            xx, ridx_d, 0, per_row=True)[0], x)
+    os.environ["ARC_ACTQ_CHUNK"] = "8192"
+    qk._actq_chunk.cache_clear()
+
+    # silu site (gate/up are [m, inter] halves)
+    gate = jax.random.normal(key, (m, inter), jnp.bfloat16)
+    rec("silu_mul_quantize K=18944", lambda g: qk.silu_mul_quantize_x(
+        g, xi, ridx_i, 0, per_row=True)[0], gate)
+    rec("rmsnorm_quantize K=3584", lambda xx: qk.rmsnorm_quantize_x(
+        xx, jnp.ones((d,), jnp.bfloat16), cfg.rms_eps,
+        ridx_d, 0, per_row=True)[0], x)
+
+    # ---- unprofiled prefill pieces at bs=4 x 1024 ----
+    from arcquant_tpu.cache import paged
+    from arcquant_tpu.engine.engine import EngineConfig
+
+    ecfg = EngineConfig(max_batch=b, max_seq_len=t + 136)
+    cache = paged.init_cache(cfg, ecfg.total_pages(), ecfg.page_size)
+    pps = ecfg.pages_per_seq
+    pt = 1 + (jnp.arange(b)[:, None] * pps
+              + jnp.arange(pps)[None, :]).astype(jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    append_pos = positions
+    kv = jax.random.normal(key, (b, t, cfg.num_kv_heads, cfg.head_dim),
+                           jnp.bfloat16)
+
+    def append(k):
+        c2 = paged.append_kv(cache, 0, k, kv, pt, append_pos)
+        return c2.codes[0]
+    rec("append_kv (one layer, T=1024)", append, kv)
+
+    cos, sin = llama.rope_cos_sin(cfg, positions)
+    q4 = jax.random.normal(key, (b, t, cfg.num_heads, cfg.head_dim),
+                           jnp.bfloat16)
+
+    def rope(qq):
+        q2, k2 = llama.apply_rope(qq, kv, cos, sin)
+        return q2 + 0 * k2.sum()
+    rec("apply_rope", rope, q4)
+
+    x3 = x.reshape(b, t, d)
+    rec("residual add", lambda a: (a + x3), x3)
+
+
+if __name__ == "__main__":
+    main()
