@@ -17,6 +17,12 @@ timeout 1500 python -m benchmarks.benchmark_e2e --model qwen2.5-7b --layers 2 --
 step quantize_lab
 timeout 2400 python -m benchmarks.quantize_lab > $R/quantize_lab.log 2>&1; done_ quantize_lab $?
 
+step prefill_trace_quant
+timeout 1500 python -m benchmarks.prefill_trace > $R/prefill_trace_quant.log 2>&1; done_ prefill_trace_quant $?
+
+step prefill_trace_bf16
+timeout 1500 python -m benchmarks.prefill_trace --quant BF16 --out /tmp/arcquant_prefill_trace_bf16 > $R/prefill_trace_bf16.log 2>&1; done_ prefill_trace_bf16 $?
+
 step e2e_14L_quant_fixed
 timeout 1500 python -m benchmarks.benchmark_e2e --layers 14 --repeats 5 --json > $R/e2e_14L_quant_fixed.log 2>&1; done_ e2e_14L_quant_fixed $?
 
