@@ -49,6 +49,16 @@ class QuantConfig:
     # which W4A16 does not incur), so packed weights are reused
     # unchanged and the GEMM is bit-defined either way.
     act_bits: int = 4
+    # Per-PHASE activation precision override for the serving engines:
+    # 0 = use act_bits everywhere; 16 = hybrid serving mode (W4A16
+    # prefill + act_bits decode). Rationale: v5e has no fp4 MXU, so
+    # A4 prefill pays the quantize sites + ARC width for zero MXU
+    # speedup (round-3 profile: 3.95 ms/layer at bs=4x1024 against a
+    # 12.2 ms/layer bf16 floor) — W4A16 prefill is strictly more
+    # accurate AND faster on TPU; decode is weight-bound either way.
+    # Packed weights are shared between phases (the W4A16 path feeds
+    # exact activations with zero ARC residual into the same GEMM).
+    prefill_act_bits: int = 0
     # Activation global-scale granularity: "tensor" (reference parity,
     # qLlamaLayer.py:73-77) or "row" (per-token scales — finer, and
     # sequences in a batch quantize independently; the serving engine

@@ -170,6 +170,10 @@ class InferenceEngine:
                  ecfg: EngineConfig, quantize_params: bool = True):
         self.cfg = cfg
         self.qcfg = qcfg
+        # hybrid serving mode: per-phase activation precision (the
+        # prefill forwards quantize with this, decode with qcfg)
+        self.qcfg_prefill = (qcfg.replace(act_bits=qcfg.prefill_act_bits)
+                             if qcfg.prefill_act_bits else qcfg)
         self.ecfg = ecfg
         self.calib = calib
         if quantize_params:
@@ -294,7 +298,7 @@ class InferenceEngine:
     def _prefill_forward(self, qparams, cache, page_table, tokens, lens):
         """tokens [B, T] (right-padded), lens [B] true lengths.
         Returns (last_logits [B, V], cache)."""
-        cfg, qcfg, calib = self.cfg, self.qcfg, self.calib
+        cfg, qcfg, calib = self.cfg, self.qcfg_prefill, self.calib
         b, t = tokens.shape
         positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
         cos, sin = llama.rope_cos_sin(cfg, positions)
@@ -323,7 +327,8 @@ class InferenceEngine:
         return logits, cache
 
     def _prefill_chunk_forward(self, qparams, cache, page_table,
-                               tokens, lens, start, all_logits=False):
+                               tokens, lens, start, all_logits=False,
+                               qcfg=None):
         """One prefill chunk with per-ROW origin `start` ([B] i32,
         TRACED): appends the chunk's K/V into the paged pool and
         attends directly over the int4 pool (prefix + this chunk) via
@@ -335,7 +340,9 @@ class InferenceEngine:
         prefill is therefore numerics-consistent with decode, and
         start being data means ONE compile covers every chunk index
         and ragged (prefix-shared) batches (round-2 VERDICT #4/#7)."""
-        cfg, qcfg, calib = self.cfg, self.qcfg, self.calib
+        cfg, calib = self.cfg, self.calib
+        if qcfg is None:
+            qcfg = self.qcfg_prefill
         b, t = tokens.shape
         start = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
         positions = start[:, None] + jnp.arange(t)[None, :]
@@ -537,9 +544,12 @@ class InferenceEngine:
         key = ("verify", b, w)
         if key not in self._prefill_jit:
             def f(qparams, cache, pt, toks, lens, start):
+                # verify must match DECODE numerics (token-identity
+                # with plain decode), not the prefill phase's — in
+                # hybrid prefill_act_bits mode the two differ
                 return self._prefill_chunk_forward(
                     qparams, cache, pt, toks, lens, start,
-                    all_logits=True)
+                    all_logits=True, qcfg=self.qcfg)
             self._prefill_jit[key] = jax.jit(
                 f, donate_argnums=(1,),
                 compiler_options=_xla_options())

@@ -522,7 +522,7 @@ class SpeculativeEngine:
                 valid = jnp.where(act, w, 1).astype(jnp.int32)
                 logits, cache = eng._prefill_chunk_forward(
                     qparams, cache, pt, toksw, seq_lens + valid,
-                    seq_lens, all_logits=True)
+                    seq_lens, all_logits=True, qcfg=eng.qcfg)
                 if sampling is None:
                     g = jnp.argmax(logits, -1).astype(jnp.int32)
                     match = (toksw[:, 1:]

@@ -163,7 +163,11 @@ class PPInferenceEngine(InferenceEngine):
         current chunk), "decode" (paged 1-token), or "verify"
         (paged flash-prefill over W tokens — attn_lens is
         (q_starts, kv_lens)). Returns (x, new local cache)."""
-        cfg, qcfg = self.cfg, self.qcfg
+        cfg = self.cfg
+        # hybrid prefill_act_bits: "prefill" quantizes with
+        # qcfg_prefill; "decode"/"verify" with qcfg (verify must match
+        # decode numerics for speculative token-identity)
+        qcfg = self.qcfg_prefill if mode == "prefill" else self.qcfg
         s = jax.lax.axis_index("pp")
         b, t, d = x.shape
         dt = x.dtype

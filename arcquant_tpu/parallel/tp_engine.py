@@ -237,14 +237,21 @@ class TPInferenceEngine(InferenceEngine):
     # -- sharded layer forward (runs inside shard_map) -----------------------
 
     def _tp_layer(self, p, x, cos, sin, lc, sels, cache_l, page_table,
-                  append_pos, seq_lens_for_attn, mode: str):
+                  append_pos, seq_lens_for_attn, mode: str, qcfg=None):
         """One decoder layer on the local shard. cache_l = per-layer
         local cache slices (codes, params). mode: "decode" (paged
         flash-decode, seq_lens_for_attn = new lens), "prefill" (dense
         flash over the current bf16 chunk), or "chunk" (paged
         flash-prefill over the int4 pool, seq_lens_for_attn =
         (starts, kv_lens)). Returns (x, new cache_l)."""
-        cfg, qcfg, tp = self.cfg, self.qcfg, self.tp
+        cfg, tp = self.cfg, self.tp
+        # hybrid prefill_act_bits: prefill-phase modes quantize with
+        # qcfg_prefill; decode with qcfg; "chunk" serves both chunked
+        # prefill AND speculative verify, so the caller passes qcfg
+        # explicitly (verify must match decode numerics)
+        if qcfg is None:
+            qcfg = (self.qcfg_prefill if mode == "prefill"
+                    else self.qcfg)
         b, t, d = x.shape
         dt = x.dtype
         hq_l = cfg.num_heads // tp
@@ -396,7 +403,7 @@ class TPInferenceEngine(InferenceEngine):
 
     def _prefill_chunk_local(self, embed, final_norm, head, lparams,
                              cache, pt, toks, lens, start,
-                             all_logits=False):
+                             all_logits=False, qcfg=None):
         """One prefill chunk on the local shard: per-row origin
         `start` ([B_local] i32, traced), attention over the int4 pool
         via paged_prefill (TP feature parity with the single-chip
@@ -404,6 +411,8 @@ class TPInferenceEngine(InferenceEngine):
         all_logits=True returns every position's logits [B, T, V]
         (speculative verify, engine.verify_step contract)."""
         cfg = self.cfg
+        if qcfg is None:
+            qcfg = self.qcfg_prefill
         b, t = toks.shape
         positions = start[:, None] + jnp.arange(t)[None, :]
         append_pos = jnp.where(positions < lens[:, None], positions, -1)
@@ -416,7 +425,8 @@ class TPInferenceEngine(InferenceEngine):
             cache_l = tuple(field[li] for field in cache)
             x, ncl = self._tp_layer(
                 lp, x, cos, sin, self.calib[li], self._row_sels[li],
-                cache_l, pt, append_pos, (start, kv_lens), "chunk")
+                cache_l, pt, append_pos, (start, kv_lens), "chunk",
+                qcfg=qcfg)
             for fi in range(2):
                 new_fields[fi].append(ncl[fi])
         new_cache = paged.PagedKVCache(*[tuple(f) for f in new_fields])
@@ -494,7 +504,8 @@ class TPInferenceEngine(InferenceEngine):
                        toks, lens, start):
                 return self._prefill_chunk_local(
                     embed, final_norm, head, lparams, cache, pt,
-                    toks, lens, start, all_logits=True)
+                    toks, lens, start, all_logits=True,
+                    qcfg=self.qcfg)
             f = shard_map(vlocal, mesh=self.mesh,
                           in_specs=self._in_specs(),
                           out_specs=(self._bspec, self._cache_spec),

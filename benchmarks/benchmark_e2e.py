@@ -69,6 +69,11 @@ def main():
                     choices=[4, 16],
                     help="16 = W4A16 (weight-only; skips the "
                     "activation-quantize sites)")
+    ap.add_argument("--prefill_act_bits", type=int, default=0,
+                    choices=[0, 4, 16],
+                    help="hybrid serving mode: activation precision "
+                    "for the PREFILL phase only (0 = same as "
+                    "act_bits; 16 = W4A16 prefill + W4A4 decode)")
     ap.add_argument("--quant", default="NVFP4",
                     choices=["NVFP4", "BF16"],
                     help="BF16 runs the unquantized engine (baseline)")
@@ -95,6 +100,7 @@ def main():
     qcfg = QuantConfig(quant_type=args.quant, use_kernels=True,
                        weight_fmt=args.weight_fmt, act_scale="row",
                        w_scale="channel", act_bits=args.act_bits,
+                       prefill_act_bits=args.prefill_act_bits,
                        quantize_lm_head=args.quant_head)
     calib = quantized.identity_calib(cfg, select_frac=args.select_frac)
     max_seq = args.prefill_seq_len + args.decode_steps + 8

@@ -29,6 +29,12 @@ timeout 1500 python -m benchmarks.benchmark_e2e --layers 14 --repeats 5 --json >
 step e2e_14L_w4a16
 timeout 1500 python -m benchmarks.benchmark_e2e --layers 14 --act_bits 16 --repeats 5 --json > $R/e2e_14L_w4a16.log 2>&1; done_ e2e_14L_w4a16 $?
 
+step e2e_14L_hybrid
+timeout 1500 python -m benchmarks.benchmark_e2e --layers 14 --prefill_act_bits 16 --repeats 5 --json > $R/e2e_14L_hybrid.log 2>&1; done_ e2e_14L_hybrid $?
+
+step e2e_14L_bf16_fixed
+timeout 1500 python -m benchmarks.benchmark_e2e --layers 14 --quant BF16 --repeats 5 --json > $R/e2e_14L_bf16_fixed.log 2>&1; done_ e2e_14L_bf16_fixed $?
+
 step e2e_28L_fixed
 timeout 2400 python -m benchmarks.benchmark_e2e --repeats 5 --json > $R/e2e_28L_fixed.log 2>&1; done_ e2e_28L_fixed $?
 

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--prefill_chunk", type=int, default=512)
     ap.add_argument("--weight_fmt", default="w8",
                     choices=["w4", "w8"])
+    ap.add_argument("--prefill_act_bits", type=int, default=0,
+                    choices=[0, 4, 16],
+                    help="hybrid mode: prefill-phase activation "
+                    "precision (16 = W4A16 prefill, W4A4 decode; "
+                    "0 = same as decode)")
     ap.add_argument("--select_frac", type=float, default=0.125)
     ap.add_argument("--dynamic_pages", action="store_true")
     ap.add_argument("--num_pages", type=int, default=0)
@@ -64,6 +69,7 @@ def main():
     qcfg = QuantConfig(quant_type="NVFP4", use_kernels=use_kernels,
                        weight_fmt=args.weight_fmt, act_scale="row",
                        w_scale="channel",
+                       prefill_act_bits=args.prefill_act_bits,
                        quantize_lm_head=use_kernels)
     ecfg = EngineConfig(
         max_batch=args.max_batch, max_seq_len=args.max_seq_len,

@@ -510,3 +510,41 @@ def test_batcher_burst_with_dynamic_pages(setup):
         return [r.output for r in reqs]
 
     assert run(4) == run(0)
+
+
+def test_hybrid_prefill_act_bits(setup):
+    """Hybrid serving mode (prefill_act_bits=16, act_bits=4):
+    prefill must be bit-identical to a pure W4A16 engine; decode from
+    the hybrid-prefilled state must be bit-identical to the W4A4
+    engine's decode from the same state (decode numerics unchanged)."""
+    cfg, params, calib, qcfg, _ = setup
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    e4 = InferenceEngine(cfg, params, calib,
+                         qcfg.replace(act_bits=4), ecfg)
+    e16 = InferenceEngine(cfg, params, calib,
+                          qcfg.replace(act_bits=16), ecfg)
+    eh = InferenceEngine(cfg, params, calib,
+                         qcfg.replace(act_bits=4, prefill_act_bits=16),
+                         ecfg)
+
+    toks = np.zeros((2, 8), np.int32)
+    toks[0, :5] = [5, 17, 301, 42, 8]
+    toks[1, :6] = [9, 3, 77, 150, 2, 11]
+    toks = jnp.asarray(toks)
+    lens = jnp.asarray([5, 6], jnp.int32)
+
+    lg_h, st_h = eh.prefill(eh.new_state(), toks, lens)
+    lg_16, st_16 = e16.prefill(e16.new_state(), toks, lens)
+    # decode donates the cache, so prefill a second pair of states
+    _, st_16b = e16.prefill(e16.new_state(), toks, lens)
+    np.testing.assert_array_equal(np.asarray(lg_h), np.asarray(lg_16))
+
+    # decode numerics: hybrid decode == A4 decode given the same state
+    nxt = jnp.argmax(lg_h, -1).astype(jnp.int32)
+    act = jnp.ones((2,), bool)
+    lg_hd, _ = eh.decode_step(st_h, nxt, act)
+    lg_4d, _ = e4.decode_step(st_16, nxt, act)
+    np.testing.assert_array_equal(np.asarray(lg_hd), np.asarray(lg_4d))
+    # and it differs from A16 decode (the hybrid split is real)
+    lg_16d, _ = e16.decode_step(st_16b, nxt, act)
+    assert not np.array_equal(np.asarray(lg_hd), np.asarray(lg_16d))
