@@ -212,6 +212,13 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
             if self.path == "/health":
                 ok = loop.error is None
                 out = {"ok": ok, "stats": loop.stats()}
+                try:
+                    from ..utils.mem import device_mem_gb
+                    mem = device_mem_gb()
+                    if mem:
+                        out["stats"]["device_mem_gb"] = round(mem, 2)
+                except Exception:
+                    pass
                 if not ok:
                     out["error"] = loop.error
                 self._json(200 if ok else 503, out)

@@ -9,6 +9,12 @@ Protocol mirrors the reference's kernel latency harness
 timing). vs_baseline is the speedup over a plain bf16 jnp.dot with the
 same logical shape.
 
+De-noising (round-4): single-shot runs wobble ~11% across processes
+(chip-state variance — driver 28.78 µs vs builder same-day 25.98 µs in
+round 3). The parent process now spawns ARC_BENCH_RUNS (default 3)
+child processes, each doing one full measurement, and reports the
+per-path MEDIAN. A persistent compilation cache keeps children cheap.
+
 Timing notes (hard-won on this environment):
   - block_until_ready does NOT wait for execution through the axon
     TPU tunnel; only a host fetch of a value does, and one fetch
@@ -22,15 +28,22 @@ Timing notes (hard-won on this environment):
 """
 
 import json
+import os
+import statistics
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+_CHILD_ENV = "ARC_BENCH_CHILD"
+_RUNS_ENV = "ARC_BENCH_RUNS"
 
 
 def bench_op(f, x0, *rest, n1=64, n2=576):
     """Per-op latency via two-length scan difference (see module
     docstring)."""
+    import jax
+    import jax.numpy as jnp
+
     def mkloop(length):
         @jax.jit
         def loop(x, *rest):
@@ -58,7 +71,11 @@ def bench_op(f, x0, *rest, n1=64, n2=576):
     return (t(l2) - t(l1)) / (n2 - n1)
 
 
-def main():
+def measure() -> dict:
+    """One full measurement pass; returns raw per-path seconds."""
+    import jax
+    import jax.numpy as jnp
+
     from arcquant_tpu.quant import packing
     from arcquant_tpu.kernels import gemm, quantize as qk
 
@@ -83,10 +100,6 @@ def main():
     # Two production decode paths, bit-exact (tests/test_kernels.py
     # test_dma_stream_matches_fused), selected by ARC_GEMM_DMA_M: the
     # auto-pipelined fused kernel and the manual-DMA-streamed kernel.
-    # Measure both in ONE process (cross-process chip-state variance
-    # is 10-20%) and report the faster.
-    import os
-    import sys
     os.environ[gemm._DMA_M_ENV] = "0"
     t_fused = bench_op(
         lambda xx: gemm.gemm_dequant(xx, pw, gx), xa, n1=n1, n2=n2)
@@ -100,20 +113,72 @@ def main():
         t_dma = float("inf")
     finally:
         os.environ[gemm._DMA_M_ENV] = "0"
-    print(f"fused {t_fused*1e6:.2f} us, dma {t_dma*1e6:.2f} us",
-          file=sys.stderr)
-    t_quant = min(t_fused, t_dma)
     t_base = bench_op(
         lambda xx: jnp.dot(xx, wT, preferred_element_type=jnp.float32)
         .astype(jnp.bfloat16), x, n1=n1, n2=n2)
+    return {"t_fused": t_fused, "t_dma": t_dma, "t_base": t_base}
 
-    speedup = t_base / t_quant
+
+def _enable_compile_cache():
+    """Persistent compile cache so repeated child processes are cheap."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/arc_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+
+def _report(t_fused: float, t_dma: float, t_base: float, runs: int):
+    print(f"fused {t_fused*1e6:.2f} us, dma {t_dma*1e6:.2f} us, "
+          f"bf16 {t_base*1e6:.2f} us (median of {runs})",
+          file=sys.stderr)
+    t_quant = min(t_fused, t_dma)
     print(json.dumps({
         "metric": "nvfp4_gemm_decode_latency",
         "value": round(t_quant * 1e6, 2),
         "unit": "us",
-        "vs_baseline": round(speedup, 3),
+        "vs_baseline": round(t_base / t_quant, 3),
     }))
+
+
+def main():
+    _enable_compile_cache()
+    if os.environ.get(_CHILD_ENV):
+        print("CHILD " + json.dumps(measure()))
+        return
+
+    runs = int(os.environ.get(_RUNS_ENV, "3"))
+    results = []
+    for i in range(max(1, runs)):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, _CHILD_ENV: "1"},
+                capture_output=True, text=True, timeout=1200)
+            for line in p.stdout.splitlines():
+                if line.startswith("CHILD "):
+                    r = json.loads(line[6:])
+                    results.append(r)
+                    print(f"run {i}: fused {r['t_fused']*1e6:.2f} "
+                          f"dma {r['t_dma']*1e6:.2f} "
+                          f"bf16 {r['t_base']*1e6:.2f} us",
+                          file=sys.stderr)
+                    break
+            else:
+                print(f"run {i} produced no result; stderr tail: "
+                      + p.stderr[-300:], file=sys.stderr)
+        except Exception as e:                  # noqa: BLE001
+            print(f"run {i} failed: {e}", file=sys.stderr)
+
+    if not results:        # subprocess machinery broken — run inline
+        r = measure()
+        results = [r]
+    med = {k: statistics.median(r[k] for r in results)
+           for k in ("t_fused", "t_dma", "t_base")}
+    _report(med["t_fused"], med["t_dma"], med["t_base"], len(results))
 
 
 if __name__ == "__main__":

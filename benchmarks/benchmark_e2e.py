@@ -163,12 +163,11 @@ def main():
     per_step = dec_m / args.decode_steps
     toks_per_s = args.batch_size * args.decode_steps / (dec_m / 1e3)
 
-    mem = None
-    try:
-        ms = jax.devices()[0].memory_stats()
-        mem = ms.get("peak_bytes_in_use", ms.get("bytes_in_use"))
-    except Exception:
-        pass
+    # memory_stats() is None through the axon tunnel — fall back to
+    # live-buffer accounting (weights + KV pool + state; lower bound
+    # on allocator peak). Reference: benchmark_e2e_arc.py:106-111.
+    from arcquant_tpu.utils.mem import device_mem_gb
+    mem_gb = device_mem_gb()
 
     if args.json:
         print(json.dumps({
@@ -179,7 +178,7 @@ def main():
             "decode_ms_per_step": round(per_step, 3),
             "decode_tokens_per_s": round(toks_per_s, 1),
             "e2e_ms": round(e2e_m, 2),
-            "peak_mem_gb": round(mem / 2**30, 2) if mem else None,
+            "peak_mem_gb": round(mem_gb, 2) if mem_gb else None,
         }))
     else:
         print(f"Prefill time: {pre_m:.2f} ms ± {pre_c:.2f}")
@@ -187,8 +186,8 @@ def main():
               f"{dec_m:.2f} ms ± {dec_c:.2f} "
               f"({per_step:.2f} ms/step, {toks_per_s:.0f} tok/s)")
         print(f"E2E time: {e2e_m:.2f} ms ± {e2e_c:.2f}")
-        if mem:
-            print(f"Peak memory: {mem / 2**30:.2f} GB")
+        if mem_gb:
+            print(f"Peak memory: {mem_gb:.2f} GB (live-buffer)")
 
 
 if __name__ == "__main__":
