@@ -223,6 +223,13 @@ class InferenceEngine:
         self._prefill_jit: Dict[Tuple[int, int], Any] = {}
         self._decode_jit = None
         self._scan_jit: Dict[Any, Any] = {}
+        # Measured fused-vs-DMA decode dispatch (opt-in via
+        # ARC_GEMM_AUTOTUNE=1): tune this engine's actual weight
+        # shapes at the serving batch size BEFORE the first compile,
+        # so gemm_dequant's trace-time lookup sees the winners.
+        from ..kernels import autotune
+        if autotune.should_autotune():
+            autotune.autotune_engine(self.qparams, ecfg.max_batch)
 
     @classmethod
     def dummy(cls, cfg: ModelConfig, calib, qcfg: QuantConfig,

@@ -1,0 +1,269 @@
+"""Measured per-shape GEMM path selection.
+
+Round-3 promoted the manual-DMA decode GEMM for all square weights
+(`kq == n`) off ONE winning shape; the driver's own BENCH_r03 then
+showed the heuristic mispredicting at 4096x4096 (DMA 32.70 vs fused
+28.78 us). This module replaces the heuristic with measurement: both
+production decode paths (auto-pipelined fused kernel vs manual-DMA
+stream — bit-exact, tests/test_kernels.py test_dma_stream_matches
+_fused) are timed per (m, kq, n) ONCE on the real chip, winners are
+persisted, and `gemm_dequant` consults the table at trace time.
+
+Reference analog: CUTLASS tile-config selection in the reference is
+also shape-specialized, but compile-time (nvfp4.cu template params);
+on TPU the candidates are two Pallas kernels, so runtime selection
+with a persisted table is the natural equivalent.
+
+Table resolution order:
+  1. ARC_AUTOTUNE_FILE env (explicit path)
+  2. /tmp/arc_gemm_autotune.json (written by `autotune_*` / the
+     benchmarks.gemm_autotune CLI)
+  3. a shipped per-device-kind default table
+     (kernels/autotune_tables/<kind>.json, measured in CI rounds)
+Lookup misses fall back to the conservative fused path.
+
+NOTE: the table is read at TRACE time. Functions jitted before the
+table changed keep their old dispatch until re-traced (engines
+autotune at build, before their first compile, so this does not bite
+in practice).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_ENV_FILE = "ARC_AUTOTUNE_FILE"
+_ENV_ENABLE = "ARC_GEMM_AUTOTUNE"     # "1": engines tune at build
+_DEFAULT_FILE = "/tmp/arc_gemm_autotune.json"
+
+_lock = threading.Lock()
+_table: Optional[Dict[str, dict]] = None    # key -> {"fused": s, "dma": s}
+_table_src: Optional[str] = None
+
+
+def _device_kind_slug() -> str:
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    return re.sub(r"[^a-z0-9]+", "_", kind.lower()).strip("_")
+
+
+def _shipped_table_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "autotune_tables",
+                        _device_kind_slug() + ".json")
+
+
+def _user_table_path() -> str:
+    return os.environ.get(_ENV_FILE, _DEFAULT_FILE)
+
+
+def _key(fmt: str, m: int, kq: int, n: int) -> str:
+    return f"{fmt}|{m}|{kq}|{n}"
+
+
+def _load() -> Dict[str, dict]:
+    global _table, _table_src
+    with _lock:
+        if _table is not None:
+            return _table
+        for path in (_user_table_path(), _shipped_table_path()):
+            try:
+                with open(path) as f:
+                    _table = json.load(f)
+                    _table_src = path
+                    return _table
+            except Exception:
+                continue
+        _table, _table_src = {}, None
+        return _table
+
+
+def invalidate_cache() -> None:
+    """Force a re-read of the table file (tests)."""
+    global _table, _table_src
+    with _lock:
+        _table = None
+        _table_src = None
+
+
+def _m_bucket(m: int) -> int:
+    return max(16, -(-m // 16) * 16)
+
+
+def lookup(fmt: str, m: int, kq: int, n: int) -> Optional[str]:
+    """'dma' | 'fused' if this shape was measured, else None.
+
+    m is bucketed to the kernel's padded block size (multiples of 16)
+    so bs=30 hits the bs=32 measurement.
+    """
+    t = _load()
+    if not t:
+        return None
+    e = t.get(_key(fmt, _m_bucket(m), kq, n))
+    if e is None:
+        return None
+    return "dma" if e.get("dma", float("inf")) < e.get(
+        "fused", float("inf")) else "fused"
+
+
+def _persist() -> None:
+    path = _user_table_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(_table, f, indent=1, sort_keys=True)
+    except Exception as e:                       # noqa: BLE001
+        print(f"autotune: persist to {path} failed: {e}",
+              file=sys.stderr)
+
+
+def measure_packed(pw, m: int, *, n1: int = 16, n2: int = 144,
+                   verbose: bool = False) -> dict:
+    """Time fused vs DMA for one packed weight at batch m; record.
+
+    Returns {"fused": seconds, "dma": seconds} (dma=inf if the DMA
+    kernel does not support the format/shape). Uses the same
+    two-length-scan harness as bench.py; shorter scans (n2=144) keep a
+    full-model tune to ~seconds of device time per shape.
+    """
+    from ..quant.packing import PackedWeightI8
+    from ..utils.timing import bench_op
+    from . import gemm
+
+    fmt = "w8" if isinstance(pw, PackedWeightI8) else "w4"
+    kq, n = pw.kq, pw.n
+    key = jax.random.PRNGKey(0)
+    xa = jax.random.normal(key, (m, kq), jnp.bfloat16)
+    gx = jnp.float32(1.0)
+
+    saved = os.environ.get(gemm._DMA_M_ENV)
+    try:
+        os.environ[gemm._DMA_M_ENV] = "0"
+        t_fused = bench_op(lambda xx: gemm.gemm_dequant(xx, pw, gx),
+                           xa, n1=n1, n2=n2)
+        t_dma = float("inf")
+        if fmt == "w8":
+            try:
+                scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8
+                             else jax.lax.bitcast_convert_type(
+                                 pw.scales, jnp.uint8))
+                t_dma = bench_op(
+                    lambda xx: gemm._gemm_dma(xx, pw, scales_u8, gx,
+                                              jnp.bfloat16),
+                    xa, n1=n1, n2=n2)
+            except Exception as e:               # noqa: BLE001
+                print(f"autotune: dma failed for {kq}x{n}: "
+                      f"{type(e).__name__}"[:160], file=sys.stderr)
+    finally:
+        if saved is None:
+            os.environ.pop(gemm._DMA_M_ENV, None)
+        else:
+            os.environ[gemm._DMA_M_ENV] = saved
+
+    entry = {"fused": t_fused, "dma": t_dma}
+    if verbose:
+        win = "dma" if t_dma < t_fused else "fused"
+        print(f"autotune {fmt} m={m} {kq}x{n}: fused "
+              f"{t_fused*1e6:.2f} us, dma {t_dma*1e6:.2f} us -> {win}",
+              file=sys.stderr)
+    t = _load()
+    with _lock:
+        t[_key(fmt, _m_bucket(m), kq, n)] = entry
+    _persist()
+    return entry
+
+
+def autotune_shapes(shapes, m: int, *, fmt: str = "w8",
+                    verbose: bool = True) -> Dict[str, dict]:
+    """Tune synthetic weights for (kq, n) pairs at batch m.
+
+    Shapes already in the table are skipped (measure once, reuse).
+    """
+    from ..quant.packing import pack_weight_arc
+
+    t = _load()
+    out = {}
+    for kq, n in shapes:
+        k = _key(fmt, _m_bucket(m), kq, n)
+        if k in t:
+            out[k] = t[k]
+            continue
+        w = (jax.random.normal(jax.random.PRNGKey(hash((kq, n)) % 2**31),
+                               (n, kq), jnp.bfloat16) * 0.02)
+        ridx = jnp.arange(kq, dtype=jnp.int32)
+        pw = pack_weight_arc(w, ridx, 0, fmt=fmt)
+        if pw.kq != kq:      # packing padded — tune the padded shape
+            k = _key(fmt, _m_bucket(m), pw.kq, pw.n)
+        out[k] = measure_packed(pw, m, verbose=verbose)
+    return out
+
+
+def engine_weight_shapes(cfg, select_num: int = 0) -> list:
+    """Distinct (kq, n) decode-GEMM shapes for a model config, in the
+    FUSED engine layout (qkv / o / gateup / down; see
+    engine.quantize_layer_params_fused)."""
+    from ..quant.packing import pad_kq
+
+    h = cfg.hidden_size
+    kv = cfg.num_kv_heads * cfg.head_dim
+    q = cfg.num_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+    shapes = {
+        (pad_kq(h, select_num), q + 2 * kv),        # qkv
+        (pad_kq(q, select_num), h),                 # o
+        (pad_kq(h, select_num), 2 * inter),         # gateup
+        (pad_kq(inter, select_num), h),             # down
+    }
+    return sorted(shapes)
+
+
+def autotune_for_config(cfg, m: int, fmt: str = "w8",
+                        select_num: int = 0,
+                        verbose: bool = True) -> Dict[str, dict]:
+    """Tune all decode-GEMM shapes of a model config at batch m."""
+    return autotune_shapes(engine_weight_shapes(cfg, select_num), m,
+                           fmt=fmt, verbose=verbose)
+
+
+def autotune_engine(qparams, m: int, verbose: bool = True
+                    ) -> Dict[str, dict]:
+    """Tune the distinct w8 decode-GEMM shapes of an engine's actual
+    quantized params (call at build time, BEFORE the first compile).
+    Already-measured shapes are skipped, so the steady-state cost is
+    one table read."""
+    from ..quant.packing import PackedWeight, PackedWeightI8
+
+    is_pw = lambda x: isinstance(x, (PackedWeight, PackedWeightI8))  # noqa: E731
+    leaves = jax.tree_util.tree_leaves(qparams, is_leaf=is_pw)
+    t = _load()
+    seen, out = set(), {}
+    for pw in leaves:
+        # only 2-D w8 weights take the fused-vs-DMA decode dispatch
+        # (w4 and stacked-expert weights have no DMA path)
+        if not isinstance(pw, PackedWeightI8):
+            continue
+        if getattr(pw.codes, "ndim", 2) != 2:
+            continue
+        k = _key("w8", _m_bucket(m), pw.kq, pw.n)
+        if k in seen:
+            continue
+        seen.add(k)
+        if k in t:
+            out[k] = t[k]
+            continue
+        out[k] = measure_packed(pw, m, verbose=verbose)
+    return out
+
+
+def should_autotune() -> bool:
+    return (os.environ.get(_ENV_ENABLE) == "1"
+            and jax.default_backend() == "tpu")

@@ -673,13 +673,19 @@ def gemm_dequant(xa: jax.Array,
             pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
         return _gemm_xla(xa, pw, scales_u8, gs, gw, out_dtype)
     dm = _dma_dispatch_m()
-    # Shape gate: on-chip (results/r3/dmaprod.log) the manual-DMA
-    # stream only beats the auto-pipelined kernel on SQUARE weights
-    # (o-proj 3584x3584: 15.3 vs 21.8 us — 109% of the weight-stream
-    # floor); tall/wide shapes (qkv 66%, gateup 71%, down 83%) lose to
-    # the fused kernel's pipelining, so they stay on it.
-    if (fmt == "w8" and dm and m <= dm and kq == n
-            and bm == 0 and bn == 0 and bk == 0):
+    # Path selection: prefer the MEASURED per-shape table (autotune.py
+    # — populated at engine build / by benchmarks.gemm_autotune; the
+    # round-3 `kq == n` heuristic mispredicted at 4096² and survives
+    # only as the fallback for unmeasured shapes, where on-chip data
+    # showed square weights favoring the DMA stream: o-proj 3584²
+    # 15.3 vs 21.8 us but qkv 66% / gateup 71% / down 83% of floor).
+    if fmt == "w8" and dm and m <= dm and bm == 0 and bn == 0 and bk == 0:
+        from .autotune import lookup
+        choice = lookup(fmt, m, kq, n)
+        use_dma = (choice == "dma") if choice is not None else (kq == n)
+    else:
+        use_dma = False
+    if use_dma:
         scales_u8 = (pw.scales if pw.scales.dtype == jnp.uint8 else
                      jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
         return _gemm_dma(xa, pw, scales_u8, gx, out_dtype)

@@ -25,3 +25,9 @@ if not os.environ.get("ARC_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_prng_impl", "rbg")
+
+# Keep GEMM path dispatch deterministic under test: never read a
+# stale measured-autotune table from /tmp (tests that exercise the
+# table monkeypatch ARC_AUTOTUNE_FILE themselves).
+os.environ.setdefault("ARC_AUTOTUNE_FILE",
+                      "/nonexistent/arc_autotune_tests.json")

@@ -1,0 +1,136 @@
+"""Measured per-shape GEMM dispatch (kernels/autotune.py).
+
+The round-3 square-weight heuristic mispredicted at 4096x4096
+(VERDICT r3 weak #3); the table-driven dispatch must (a) honor
+measured winners in BOTH directions, (b) bucket m to the kernel's
+padded block, (c) persist and reload, (d) fall back to the heuristic
+on a miss."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arcquant_tpu.kernels import autotune, gemm
+from arcquant_tpu.kernels import quantize as qk
+from arcquant_tpu.quant import packing
+
+
+def _table(tmp_path, monkeypatch, entries):
+    path = tmp_path / "tune.json"
+    path.write_text(json.dumps(entries))
+    monkeypatch.setenv("ARC_AUTOTUNE_FILE", str(path))
+    autotune.invalidate_cache()
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    yield
+    autotune.invalidate_cache()
+
+
+class TestLookup:
+    def test_winner_selection(self, tmp_path, monkeypatch):
+        _table(tmp_path, monkeypatch, {
+            "w8|32|4096|4096": {"fused": 28e-6, "dma": 32e-6},
+            "w8|32|3584|3584": {"fused": 21e-6, "dma": 15e-6},
+        })
+        assert autotune.lookup("w8", 32, 4096, 4096) == "fused"
+        assert autotune.lookup("w8", 32, 3584, 3584) == "dma"
+        assert autotune.lookup("w8", 32, 1024, 1024) is None
+
+    def test_m_bucketing(self, tmp_path, monkeypatch):
+        _table(tmp_path, monkeypatch, {
+            "w8|32|1024|1024": {"fused": 2e-6, "dma": 1e-6}})
+        # 17..32 all pad to the same bm=32 kernel
+        assert autotune.lookup("w8", 30, 1024, 1024) == "dma"
+        assert autotune.lookup("w8", 17, 1024, 1024) == "dma"
+        assert autotune.lookup("w8", 33, 1024, 1024) is None
+
+    def test_missing_file_is_empty(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("ARC_AUTOTUNE_FILE",
+                           str(tmp_path / "nope.json"))
+        autotune.invalidate_cache()
+        assert autotune.lookup("w8", 32, 4096, 4096) is None
+
+
+class TestDispatchIntegration:
+    def _pack(self, n, k, ke):
+        w = jax.random.normal(jax.random.PRNGKey(2), (n, k)) * 0.05
+        ridx = jnp.argsort(jnp.max(jnp.abs(w), axis=0)).astype(
+            jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, ke, fmt="w8")
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, k))
+        xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
+        return pw, xa, gx
+
+    def _spy(self, monkeypatch):
+        calls = []
+        real = gemm._gemm_dma
+        monkeypatch.setattr(
+            gemm, "_gemm_dma",
+            lambda *a, **kw: calls.append(1) or real(*a, **kw))
+        return calls
+
+    def test_table_overrides_square_heuristic(self, tmp_path,
+                                              monkeypatch):
+        """Measured 'fused' must BLOCK the DMA path on a square shape
+        (the 4096x4096 misprediction)."""
+        pw, xa, gx = self._pack(1024, 960, 64)
+        assert pw.kq == pw.n == 1024
+        _table(tmp_path, monkeypatch, {
+            "w8|16|1024|1024": {"fused": 1e-6, "dma": 2e-6}})
+        monkeypatch.setenv(gemm._DMA_M_ENV, "64")
+        calls = self._spy(monkeypatch)
+        gemm.gemm_dequant(xa, pw, gx)
+        assert not calls
+
+    def test_table_enables_dma_on_nonsquare(self, tmp_path,
+                                            monkeypatch):
+        """Measured 'dma' must TAKE the DMA path on a non-square shape
+        the heuristic would skip — and stay bit-exact vs fused."""
+        pw, xa, gx = self._pack(512, 960, 64)
+        assert pw.kq == 1024 and pw.n == 512
+        monkeypatch.setenv(gemm._DMA_M_ENV, "64")
+
+        monkeypatch.setenv("ARC_AUTOTUNE_FILE",
+                           str(tmp_path / "none.json"))
+        autotune.invalidate_cache()
+        y_fused = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+
+        _table(tmp_path, monkeypatch, {
+            "w8|16|1024|512": {"fused": 2e-6, "dma": 1e-6}})
+        calls = self._spy(monkeypatch)
+        y_dma = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        assert calls
+        assert bool(jnp.all(y_dma == y_fused))
+
+
+class TestPersistence:
+    def test_measure_packed_persists(self, tmp_path, monkeypatch):
+        """measure_packed writes an entry lookup() then serves (timing
+        values are interpret-mode garbage on CPU — only the schema and
+        round-trip are under test)."""
+        path = tmp_path / "tune.json"
+        monkeypatch.setenv("ARC_AUTOTUNE_FILE", str(path))
+        autotune.invalidate_cache()
+        w = jax.random.normal(jax.random.PRNGKey(5), (512, 480)) * 0.05
+        ridx = jnp.arange(480, dtype=jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, 32, fmt="w8")
+        autotune.measure_packed(pw, 4, n1=1, n2=2)
+        saved = json.loads(path.read_text())
+        key = f"w8|16|{pw.kq}|{pw.n}"
+        assert key in saved
+        assert set(saved[key]) == {"fused", "dma"}
+        autotune.invalidate_cache()
+        assert autotune.lookup("w8", 4, pw.kq, pw.n) in ("fused", "dma")
+
+
+def test_engine_weight_shapes():
+    from arcquant_tpu.config import get_model_config
+    cfg = get_model_config("qwen2.5-7b")
+    shapes = autotune.engine_weight_shapes(cfg)
+    assert len(shapes) == 4
+    for kq, n in shapes:
+        assert kq % 512 == 0 and n % 128 == 0

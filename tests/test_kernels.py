@@ -165,26 +165,47 @@ class TestGemmDequant:
 
     @pytest.mark.parametrize("bias", [False, True])
     @pytest.mark.parametrize("per_row", [False, True])
-    def test_dma_stream_matches_fused(self, bias, per_row, monkeypatch):
+    def test_dma_stream_matches_fused(self, bias, per_row, monkeypatch,
+                                      tmp_path):
         """The decode-shape manual-DMA kernel (_gemm_dma: codes stay in
         HBM, explicit multi-buffered stripe DMAs) must be BIT-exact vs
         the auto-pipelined fused kernel — identical decode and scale
-        expressions, identical f32 k-block accumulation order."""
-        m, n, k, ke = 4, 256, 512, 64
+        expressions, identical f32 k-block accumulation order.
+
+        The weight is square AFTER kq padding (960+64 -> 1024 == n) so
+        the dispatch actually takes the DMA path — a spy asserts it
+        (the original 512x256 shape fell through to fused-vs-fused
+        once the square gate landed in round 3)."""
+        from arcquant_tpu.kernels import autotune
+        m, n, k, ke = 4, 1024, 960, 64
         x = synthetic_outlier_x(jax.random.PRNGKey(31), m, k)
         w = jax.random.normal(jax.random.PRNGKey(32), (n, k)) * 0.05
         b = (jax.random.normal(jax.random.PRNGKey(33), (n,))
              if bias else None)
         ridx = jnp.argsort(jnp.max(jnp.abs(w), axis=0)).astype(jnp.int32)
         pw = packing.pack_weight_arc(w, ridx, ke, bias=b, fmt="w8")
+        assert pw.kq == pw.n == 1024
         xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq,
                                    per_row=per_row)
 
+        # no autotune table -> gate falls back to the square heuristic
+        monkeypatch.setenv("ARC_AUTOTUNE_FILE",
+                           str(tmp_path / "missing.json"))
+        autotune.invalidate_cache()
+        calls = []
+        real = gemm._gemm_dma
+        monkeypatch.setattr(
+            gemm, "_gemm_dma",
+            lambda *a, **kw: calls.append(1) or real(*a, **kw))
+
         monkeypatch.setenv(gemm._DMA_M_ENV, "0")
         y_fused = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        assert not calls
         monkeypatch.setenv(gemm._DMA_M_ENV, "64")
         y_dma = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        assert calls, "dispatch did not take the DMA path"
         monkeypatch.setenv(gemm._DMA_M_ENV, "0")
+        autotune.invalidate_cache()
 
-        # same bk (=512 at this kq) => identical accumulation order
+        # same bk => identical accumulation order
         assert bool(jnp.all(y_dma == y_fused))
