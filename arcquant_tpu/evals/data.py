@@ -56,18 +56,40 @@ _HF_SPECS: Dict[str, tuple] = {
 }
 
 
+def _local_records(dataset: str, split: str):
+    """Offline mirror: ARC_DATA_DIR/<dataset>.<split>.jsonl with one
+    JSON record per line carrying the dataset's text column (same
+    record schema as the HF dataset, so column selection and joining
+    run the identical code path). Returns a list of records or None."""
+    import json
+    import os
+    root = os.environ.get("ARC_DATA_DIR")
+    if not root:
+        return None
+    path = os.path.join(root, f"{dataset}.{split}.jsonl")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
 def _hf_text_stream(dataset: str, split: str) -> str:
-    """Join an HF text dataset split (requires network or local cache;
-    reference utilize.py:256-384)."""
-    from datasets import load_dataset  # lazy: offline envs never import
+    """Join a text dataset split: column select + joiner per _HF_SPECS
+    (reference datautils.py:11-27 joins column text with the dataset's
+    separator). Records come from a local ARC_DATA_DIR mirror when
+    present, else HF `datasets` (requires network or local cache)."""
     if dataset not in _HF_SPECS:
         raise KeyError(dataset)
     spec = _HF_SPECS[dataset]
     args, column, joiner = spec[:3]
     if len(spec) > 3:
         split = spec[3]
-    ds = load_dataset(*args, split=split)
-    return joiner.join(ds[column])
+    records = _local_records(dataset, split)
+    if records is None:
+        from datasets import load_dataset  # lazy: offline envs never import
+        ds = load_dataset(*args, split=split)
+        return joiner.join(ds[column])
+    return joiner.join(r[column] for r in records)
 
 
 def get_token_stream(dataset: str, split: str, tokenizer,
