@@ -144,10 +144,23 @@ def _mlp(cfg, p, x, layer_calib, qcfg):
     # in the model (620 MB at bs=4 x 1024) for rounding the down_in
     # re-quantize immediately absorbs
     gu = quantized._q_linear(p["gateup"], xa, gx, qcfg, dtype)
-    gate, up = gu[:, :gu.shape[1] // 2], gu[:, gu.shape[1] // 2:]
-    inter = (jax.nn.silu(gate.astype(jnp.float32))
-             * up.astype(jnp.float32)).astype(dtype)
-    ia, gi = quantized._act_quantize(inter, layer_calib["down_in"], qcfg)
+    if (qcfg.quant_type == "NVFP4" and qcfg.use_kernels
+            and qcfg.act_bits == 4):
+        # fused silu-mul-quantize over the UNSLICED gateup output: one
+        # HBM read of gu, no materialized product, GEMM-ready layout
+        # (falls back internally below the Pallas M threshold —
+        # numerics identical incl. the bf16 product round)
+        from ..kernels import quantize as qk
+        c = layer_calib["down_in"]
+        ia, gi = qk.silu_mul_quantize_gu(
+            gu, c.reorder_index, c.select_num,
+            per_row=qcfg.act_scale == "row")
+    else:
+        gate, up = gu[:, :gu.shape[1] // 2], gu[:, gu.shape[1] // 2:]
+        inter = (jax.nn.silu(gate.astype(jnp.float32))
+                 * up.astype(jnp.float32)).astype(dtype)
+        ia, gi = quantized._act_quantize(inter, layer_calib["down_in"],
+                                         qcfg)
     return quantized._q_linear(p["down"], ia, gi, qcfg,
                                dtype).reshape(b, t, d)
 
@@ -192,9 +205,10 @@ class InferenceEngine:
             ridx = jnp.arange(head.shape[1], dtype=jnp.int32)
             # pack in row chunks: the f32 transients of a one-shot pack
             # of a 150k-vocab head spike ~6 GB
+            from ..quant import numerics as N
             gs = (None if qcfg.w_scale == "channel"
                   else jnp.max(jnp.abs(head)).astype(jnp.float32)
-                  / 2688.0)
+                  * N.INV_NVFP4_GLOBAL_DIV)
             chunks = []
             step = 16384
             for i in range(0, head.shape[0], step):

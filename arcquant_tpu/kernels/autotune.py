@@ -126,14 +126,18 @@ def _persist() -> None:
               file=sys.stderr)
 
 
-def measure_packed(pw, m: int, *, n1: int = 16, n2: int = 144,
+def measure_packed(pw, m: int, *, n1: int = 64, n2: int = 576,
                    verbose: bool = False) -> dict:
     """Time fused vs DMA for one packed weight at batch m; record.
 
     Returns {"fused": seconds, "dma": seconds} (dma=inf if the DMA
     kernel does not support the format/shape). Uses the same
-    two-length-scan harness as bench.py; shorter scans (n2=144) keep a
-    full-model tune to ~seconds of device time per shape.
+    two-length-scan harness AND lengths as bench.py: a first attempt
+    with short scans (n1=16/n2=144) produced physically impossible
+    numbers (5.5 us for a 12.8 MB weight stream — under the HBM
+    floor) because the ~32 ms host-fetch round trip dominates short
+    scan differences. ~0.5 s of device time per shape is the price of
+    a trustworthy table.
     """
     from ..quant.packing import PackedWeightI8
     from ..utils.timing import bench_op

@@ -696,7 +696,16 @@ def gemm_dequant(xa: jax.Array,
         bk, bn = _decode_blocks_w8(m, kq, n)
     if bk == 0:
         from ..quant.packing import best_k_block
-        bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
+        if fmt == "w4":
+            # the w4 x blocks are (bm, bk//2), so Mosaic's last-dim
+            # constraint needs bk % 256 == 0 (a 128-only-aligned bk
+            # like 1408 at kq=5632 — qwen1.5-moe gateup — gives a
+            # 704-wide x block and fails to lower)
+            bk = best_k_block(kq, align=256) or kq  # kq: dim-equal
+            # block is always legal (pad_kq makes kq a multiple of
+            # 512, so a 256-aligned divisor always exists in practice)
+        else:
+            bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
     bn = bn or _pick_block(n, (512, 256, 128))
     if bm == 0:
         bm = min(_round_up(m, 16), 512)
@@ -826,7 +835,11 @@ def gemm_dequant_batched(xa: jax.Array,
         bk, bn = _decode_blocks_w8(m, kq, n)
     else:
         from ..quant.packing import best_k_block
-        bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
+        if fmt == "w4":
+            # x blocks are (bm, bk//2): bk % 256 (see gemm_dequant)
+            bk = best_k_block(kq, align=256) or kq
+        else:
+            bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
         bn = _pick_block(n, (512, 256, 128))
     bm = min(_round_up(m, 16), 512)
     m_pad = _round_up(m, bm)

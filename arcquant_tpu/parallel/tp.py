@@ -262,9 +262,10 @@ def _nvfp4_qdq_scaled(xs):
     shape = xs.shape
     g = xs.reshape(shape[:-1] + (shape[-1] // 16, 16))
     absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
-    scale = jnp.clip(absmax / N.E2M1_MAX, N.UE4M3_MIN, N.UE4M3_MAX)
+    scale = jnp.clip(absmax * N.INV_E2M1_MAX, N.UE4M3_MIN,
+                     N.UE4M3_MAX)
     scale = scale.astype(jnp.float8_e4m3fn).astype(jnp.float32)
-    q = N.quantize_e2m1(g / scale) * scale
+    q = N.e2m1_decode(N.e2m1_encode_scaled(g, scale)) * scale
     return q.reshape(shape)
 
 
@@ -297,7 +298,7 @@ def _quantize_x_rowshard(x_local, idx_local, sel: int, kq: int,
     shard's slice; global scale via pmax over tp."""
     m, ks = x_local.shape
     gmax = _row_gmax(x_local, per_row)
-    gx = jnp.maximum(gmax / N.NVFP4_GLOBAL_DIV, 1e-12)
+    gx = jnp.maximum(gmax * N.INV_NVFP4_GLOBAL_DIV, 1e-12)
     xs = x_local.astype(jnp.float32) / gx
     qx = _nvfp4_qdq_scaled(xs)
     parts = [qx]
@@ -325,7 +326,7 @@ def _quantize_x_rowshard_exact(x_local, own_idx, own_pos, sel_chunk: int,
     (padded with pos=KE → dropped by the scatter)."""
     m, ks = x_local.shape
     gmax = _row_gmax(x_local, per_row)
-    gx = jnp.maximum(gmax / N.NVFP4_GLOBAL_DIV, 1e-12)
+    gx = jnp.maximum(gmax * N.INV_NVFP4_GLOBAL_DIV, 1e-12)
     xs = x_local.astype(jnp.float32) / gx
     qx = _nvfp4_qdq_scaled(xs)
     err = xs - qx

@@ -31,6 +31,12 @@ Deliberate, documented deviations from the reference numerics:
      fake.py:20-29 clamps at 1/512) that disagree with each other;
      we pick one self-consistent definition shared by the fake path
      and the Pallas kernels.
+  3. NVFP4 element rounding compares |x| against boundary*scale
+     (exact f32 products — e2m1_encode_scaled) instead of rounding
+     the quotient x/scale and comparing: no double rounding, and no
+     division chain for XLA to reassociate (jit and eager dispatch
+     otherwise disagree by 1 ulp and flip roundings at boundaries —
+     the grid must be identical across eager / jit / Mosaic).
 """
 
 from __future__ import annotations
@@ -54,6 +60,19 @@ UE4M3_MIN = 2.0 ** -9  # smallest e4m3fn subnormal
 # Global tensor scale divisor: absmax / (UE4M3_MAX * E2M1_MAX)
 NVFP4_GLOBAL_DIV = UE4M3_MAX * E2M1_MAX  # 2688.0
 
+# Scale divisions use MULTIPLY by the f32-rounded reciprocal, not a
+# divide: XLA strength-reduces constant divides under jit but not in
+# eager dispatch (measured 1-ulp divergence, round 4), and Mosaic may
+# lower them differently again. A fixed reciprocal constant makes the
+# scale grid identical across eager / jit / Pallas lowerings. (6 and
+# 2688 are not powers of two, so the reciprocal is inexact — that
+# only shifts the quantization grid by <=1 ulp, consistently.)
+import numpy as _np
+
+INV_E2M1_MAX = float(_np.float32(1.0) / _np.float32(E2M1_MAX))
+INV_NVFP4_GLOBAL_DIV = float(
+    _np.float32(1.0) / _np.float32(NVFP4_GLOBAL_DIV))
+
 NVFP4_GROUP = 16
 MXFP4_GROUP = 32
 MXFP6_GROUP = 32
@@ -76,6 +95,24 @@ def e2m1_encode(x: jax.Array) -> jax.Array:
     idx = jnp.zeros(x.shape, jnp.uint8)
     for b in E2M1_BOUNDARIES:
         idx = idx + (mag > b).astype(jnp.uint8)
+    sign = (x < 0).astype(jnp.uint8) << 3
+    return sign | idx
+
+
+def e2m1_encode_scaled(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """e2m1 codes of x/scale WITHOUT dividing: boundary decisions run
+    in product space, |x| > boundary*scale. Both factors carry short
+    significands (boundaries <=3 bits, ue4m3 scales <=4 bits), so the
+    products are EXACT in f32 and the comparison equals the
+    infinitely-precise quotient comparison — no double rounding, and
+    no division for XLA to reassociate (divide-then-compare gave
+    jit-vs-eager 1-ulp flips; see INV_E2M1_MAX note). Ties round
+    toward smaller magnitude, same as e2m1_encode."""
+    mag = jnp.abs(x).astype(jnp.float32)
+    s = scale.astype(jnp.float32)
+    idx = jnp.zeros(x.shape, jnp.uint8)
+    for b in E2M1_BOUNDARIES:
+        idx = idx + (mag > jnp.float32(b) * s).astype(jnp.uint8)
     sign = (x < 0).astype(jnp.uint8) << 3
     return sign | idx
 
@@ -182,8 +219,9 @@ def nvfp4_qdq(x: jax.Array, group: int = NVFP4_GROUP) -> jax.Array:
     shape = x.shape
     g, pad = _group_reshape(x, group)
     absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True).astype(jnp.float32)
-    scale = quantize_ue4m3(absmax / E2M1_MAX)
-    q = quantize_e2m1(g.astype(jnp.float32) / scale) * scale
+    scale = quantize_ue4m3(absmax * INV_E2M1_MAX)
+    g = g.astype(jnp.float32)
+    q = e2m1_decode(e2m1_encode_scaled(g, scale)) * scale
     return _group_unshape(q.astype(x.dtype), shape, pad)
 
 
@@ -193,7 +231,8 @@ def mxfp4_qdq(x: jax.Array, group: int = MXFP4_GROUP) -> jax.Array:
     shape = x.shape
     g, pad = _group_reshape(x, group)
     absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True).astype(jnp.float32)
-    scale = quantize_ue8m0(jnp.where(absmax == 0, 1e-9, absmax / E2M1_MAX))
+    scale = quantize_ue8m0(jnp.where(absmax == 0, 1e-9,
+                                     absmax * INV_E2M1_MAX))
     q = quantize_e2m1(g.astype(jnp.float32) / scale) * scale
     return _group_unshape(q.astype(x.dtype), shape, pad)
 
@@ -273,9 +312,10 @@ def nvfp4_global_scale(x: jax.Array, per_row: bool = False) -> jax.Array:
     batch neighbors (exact batch isolation in the serving engine)."""
     if per_row:
         s = (jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-             .astype(jnp.float32) / NVFP4_GLOBAL_DIV)
+             .astype(jnp.float32) * INV_NVFP4_GLOBAL_DIV)
     else:
-        s = jnp.max(jnp.abs(x)).astype(jnp.float32) / NVFP4_GLOBAL_DIV
+        s = (jnp.max(jnp.abs(x)).astype(jnp.float32)
+             * INV_NVFP4_GLOBAL_DIV)
     return jnp.maximum(s, jnp.float32(1e-12))
 
 

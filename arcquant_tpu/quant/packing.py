@@ -143,10 +143,11 @@ def quantize_nvfp4_groups(x: jax.Array):
     g = x.reshape(shape[:-1] + (shape[-1] // N.NVFP4_GROUP, N.NVFP4_GROUP))
     g = g.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
-    scale = jnp.clip(absmax / N.E2M1_MAX, N.UE4M3_MIN, N.UE4M3_MAX)
+    scale = jnp.clip(absmax * N.INV_E2M1_MAX, N.UE4M3_MIN,
+                     N.UE4M3_MAX)
     scale8 = scale.astype(jnp.float8_e4m3fn)
     scale_dq = scale8.astype(jnp.float32)
-    codes = N.e2m1_encode(g / scale_dq)
+    codes = N.e2m1_encode_scaled(g, scale_dq)
     return codes.reshape(shape), scale8.reshape(shape[:-1] + (shape[-1] // 16,))
 
 

@@ -81,35 +81,38 @@ def main():
     def rounds_loop(w, length):
         """`length` serially-dependent verify rounds at FIXED
         seq_lens (same page traffic every round); each round's tokens
-        are the previous round's greedy argmax."""
+        are the previous round's greedy argmax. qparams are jit
+        ARGUMENTS — closing over them bakes 8.66 GB of weights into
+        the lowered module as constants (round-4 queue: the lowering
+        alone blew the step timeout)."""
         @jax.jit
-        def loop(cache, first):
+        def loop(qparams, cache, first):
             def body(carry, _):
                 cache, tk = carry
                 logits, cache = eng._prefill_chunk_forward(
-                    eng.qparams, cache, pt, tk, seq_lens + w,
+                    qparams, cache, pt, tk, seq_lens + w,
                     seq_lens, all_logits=True)
                 return (cache, jnp.argmax(logits, -1)
                         .astype(jnp.int32)), ()
             (cache, tk), _ = jax.lax.scan(body, (cache, first), None,
                                           length=length)
             return cache, tk
-        return loop
+        return lambda cache, first: loop(eng.qparams, cache, first)
 
     def decode_loop(length):
         @jax.jit
-        def loop(cache, first):
+        def loop(qparams, cache, first):
             def body(carry, _):
                 cache, tk = carry
                 logits, cache, _ = eng._decode_forward(
-                    eng.qparams, cache, pt, seq_lens, tk,
+                    qparams, cache, pt, seq_lens, tk,
                     jnp.ones((b,), bool))
                 return (cache, jnp.argmax(logits, -1)
                         .astype(jnp.int32)), ()
             (cache, tk), _ = jax.lax.scan(body, (cache, first), None,
                                           length=length)
             return cache, tk
-        return loop
+        return lambda cache, first: loop(eng.qparams, cache, first)
 
     def timeit(mk, tk0):
         l1, l2 = mk(args.n1), mk(args.n2)

@@ -42,26 +42,47 @@ def main():
     ridx_i = jnp.arange(inter, dtype=jnp.int32)
     ridx_d = jnp.arange(d, dtype=jnp.int32)
 
-    for chunk in (0, 9472, 8192, 4096, 2368):
-        os.environ["ARC_ACTQ_CHUNK"] = str(chunk)
-        qk._actq_chunk.cache_clear()
-        rec(f"quantize_x K=18944 chunk={chunk}", lambda xx: qk.quantize_x_arc(
+    # ---- fused Pallas act-quantize vs the XLA lowering (round 4) ----
+    def set_pallas(on: bool):
+        os.environ[qk._ACTQ_PALLAS_M_ENV] = "256" if on else "0"
+        qk._actq_pallas_min_m.cache_clear()
+
+    for on in (False, True):
+        set_pallas(on)
+        tag = "pallas" if on else "xla"
+        rec(f"quantize_x K=18944 [{tag}]", lambda xx: qk.quantize_x_arc(
             xx, ridx_i, 0, per_row=True)[0], xi)
-    for chunk in (0, 2368):
+        rec(f"quantize_x K=3584 [{tag}]", lambda xx: qk.quantize_x_arc(
+            xx, ridx_d, 0, per_row=True)[0], x)
+        rec(f"quantize_x K=3584 ke=448 [{tag}]",
+            lambda xx: qk.quantize_x_arc(
+                xx, ridx_d, 448, per_row=True)[0], x)
+        gu = jax.random.normal(key, (m, 2 * inter), jnp.bfloat16)
+        rec(f"silu_mul_quantize_gu K=18944 [{tag}]",
+            lambda g: qk.silu_mul_quantize_gu(
+                g, ridx_i, 0, per_row=True)[0], gu)
+        rec(f"rmsnorm_quantize K=3584 [{tag}]",
+            lambda xx: qk.rmsnorm_quantize_x(
+                xx, jnp.ones((d,), jnp.bfloat16), cfg.rms_eps,
+                ridx_d, 0, per_row=True)[0], x)
+    set_pallas(True)
+
+    for chunk in (0, 8192):
         os.environ["ARC_ACTQ_CHUNK"] = str(chunk)
         qk._actq_chunk.cache_clear()
-        rec(f"quantize_x K=3584 chunk={chunk}", lambda xx: qk.quantize_x_arc(
-            xx, ridx_d, 0, per_row=True)[0], x)
+        set_pallas(False)
+        rec(f"quantize_x K=18944 chunk={chunk} [xla]",
+            lambda xx: qk.quantize_x_arc(
+                xx, ridx_i, 0, per_row=True)[0], xi)
+        set_pallas(True)
     os.environ["ARC_ACTQ_CHUNK"] = "8192"
     qk._actq_chunk.cache_clear()
 
-    # silu site (gate/up are [m, inter] halves)
+    # silu site (gate/up as separate halves — the pre-round-4 path)
     gate = jax.random.normal(key, (m, inter), jnp.bfloat16)
-    rec("silu_mul_quantize K=18944", lambda g: qk.silu_mul_quantize_x(
-        g, xi, ridx_i, 0, per_row=True)[0], gate)
-    rec("rmsnorm_quantize K=3584", lambda xx: qk.rmsnorm_quantize_x(
-        xx, jnp.ones((d,), jnp.bfloat16), cfg.rms_eps,
-        ridx_d, 0, per_row=True)[0], x)
+    rec("silu_mul_quantize K=18944 [halves]",
+        lambda g: qk.silu_mul_quantize_x(
+            g, xi, ridx_i, 0, per_row=True)[0], gate)
 
     # ---- unprofiled prefill pieces at bs=4 x 1024 ----
     from arcquant_tpu.cache import paged

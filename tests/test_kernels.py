@@ -209,3 +209,30 @@ class TestGemmDequant:
 
         # same bk => identical accumulation order
         assert bool(jnp.all(y_dma == y_fused))
+
+
+class TestW4BlockAlignment:
+    def test_w4_gemm_at_qwen_moe_gateup_shape(self):
+        """kq=5632 (qwen1.5-moe gateup: 2048 hidden, pad 5632 aug) has
+        1408 as its largest 128-aligned k-divisor; the w4 kernel's x
+        blocks are (bm, bk//2) so bk must be 256-aligned or Mosaic
+        rejects the 704-wide block (round-4 moe_e2e crash). Interpret
+        mode can't see the constraint, so pin the block choice AND run
+        the GEMM."""
+        from arcquant_tpu.quant.packing import best_k_block
+        bk = best_k_block(5632, align=256)
+        assert bk and bk % 256 == 0
+        # 1408 would be chosen by the old 128-aligned rule
+        assert best_k_block(5632) == 1408
+
+        m, n, k = 300, 256, 5504      # pads to kq=5632
+        x = synthetic_outlier_x(jax.random.PRNGKey(40), m, k)
+        w = jax.random.normal(jax.random.PRNGKey(41), (n, k)) * 0.05
+        ridx = jnp.arange(k, dtype=jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, 128, fmt="w4")
+        assert pw.kq == 5632
+        xa, gx = qk.quantize_x_arc(x, ridx, 128, kq=pw.kq)
+        y = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        golden = arc.arc_linear_fake(x, w, ridx, 128)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(golden),
+                                   rtol=2e-2, atol=2e-2)

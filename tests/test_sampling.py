@@ -3,6 +3,8 @@ temperature/top-k/top-p warps, greedy equivalence at temperature 0,
 and per-request sampling through decode_scan / generate / the
 continuous batcher."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,6 +68,11 @@ def test_sampling_matches_softmax_frequencies():
     np.testing.assert_allclose(freq, probs, atol=0.04)
 
 
+# pages are lanes on hardware: interpret mode exercises the
+# small-page layout, the real chip needs 128-token pages
+PAGE = 128 if os.environ.get("ARC_TEST_TPU") else 16
+
+
 @pytest.fixture(scope="module")
 def eng():
     cfg = get_model_config("test-tiny")
@@ -74,7 +81,7 @@ def eng():
                        kv_quant=False, act_scale="row",
                        w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=0.125)
-    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=PAGE)
     return InferenceEngine(cfg, params, calib, qcfg, ecfg)
 
 

@@ -4,6 +4,8 @@ the target itself would have produced), for every drafter — including
 an adversarial one — and verify_step must agree with sequential
 decode steps position by position."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +19,11 @@ from arcquant_tpu.engine import (InferenceEngine, EngineConfig,
 from arcquant_tpu.models import llama, quantized
 
 
+# pages are lanes on hardware: interpret mode exercises the
+# small-page layout, the real chip needs 128-token pages
+PAGE = 128 if os.environ.get("ARC_TEST_TPU") else 16
+
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = get_model_config("test-tiny")
@@ -25,14 +32,14 @@ def setup():
                        kv_quant=False, act_scale="row",
                        w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=0.125)
-    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=PAGE)
     eng = InferenceEngine(cfg, params, calib, qcfg, ecfg)
     return cfg, params, calib, qcfg, eng
 
 
 def _fresh(setup, **kw):
     cfg, params, calib, qcfg, _ = setup
-    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16,
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=PAGE,
                         **kw)
     return InferenceEngine(cfg, params, calib, qcfg, ecfg)
 
@@ -278,14 +285,14 @@ def test_batcher_spec_with_prefix_sharing_and_chunked_prefill(setup):
     page-aligned prompt prefix; chunked prefill + dynamic pages +
     spec decode together must reproduce the plain batcher."""
     from arcquant_tpu.engine import ContinuousBatcher
-    shared = list(range(1, 17))          # one full 16-token page
+    shared = list(range(1, PAGE + 1))    # one full page
     reqs = lambda: [  # noqa: E731
         Request_(prompt=shared + [31, 32], max_new_tokens=8),
         Request_(prompt=shared + [41, 42, 43], max_new_tokens=8),
     ]
 
     def run(spec_window):
-        eng = _fresh(setup, dynamic_pages=True, prefill_chunk=16,
+        eng = _fresh(setup, dynamic_pages=True, prefill_chunk=PAGE,
                      prefix_sharing=True, num_pages=12)
         bt = ContinuousBatcher(eng, spec_window=spec_window)
         for r in reqs():
