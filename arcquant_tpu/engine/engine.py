@@ -105,11 +105,36 @@ class EngineConfig:
 # Layer forwards shared by prefill and decode
 # ---------------------------------------------------------------------------
 
+def _norm_quantize(x2, norm_w, eps, site, qcfg):
+    """rmsnorm + activation quantize for a site. On the NVFP4 kernel
+    path this is ONE fused Pallas pass at prefill shapes (the norm is
+    never written to HBM); every other configuration applies
+    llama.rms_norm then the site quantize. The fused pass mimics
+    rms_norm's rounding chain, but the variance SUM reduce is
+    order-dependent across lowerings, so fused-vs-unfused can differ
+    by one e2m1 step on ulp-boundary elements (tests/test_actq.py
+    TestRmsnormFused pins the bound). Returns (xa, gx)."""
+    if (qcfg.quant_type == "NVFP4" and qcfg.use_kernels
+            and qcfg.act_bits == 4):
+        from ..kernels import quantize as qk
+        return qk.rmsnorm_quantize_x(
+            x2, norm_w, eps, site.reorder_index, site.select_num,
+            per_row=qcfg.act_scale == "row")
+    x2 = llama.rms_norm(x2, norm_w, eps)
+    return quantized._act_quantize(x2, site, qcfg)
+
+
 def _attn_common(cfg, p, x2, layer_calib, qcfg, b, t,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, norm_w=None):
     """Quantize + fused QKV projection (one packed GEMM), split and
-    reshaped to heads."""
-    xa, gx = quantized._act_quantize(x2, layer_calib["attn_in"], qcfg)
+    reshaped to heads. Pass norm_w to fold the pre-attention rmsnorm
+    into the quantize (x2 is then the PRE-norm residual stream)."""
+    if norm_w is None:
+        xa, gx = quantized._act_quantize(x2, layer_calib["attn_in"],
+                                         qcfg)
+    else:
+        xa, gx = _norm_quantize(x2, norm_w, cfg.rms_eps,
+                                layer_calib["attn_in"], qcfg)
     qkv = quantized._q_linear(p["qkv"], xa, gx, qcfg, dtype)
     qs, kvs = cfg.q_size, cfg.kv_size
     q = qkv[:, :qs].reshape(b, t, cfg.num_heads, cfg.head_dim)
@@ -127,7 +152,10 @@ def _o_proj(cfg, p, attn, layer_calib, qcfg, b, t,
                                dtype).reshape(b, t, -1)
 
 
-def _mlp(cfg, p, x, layer_calib, qcfg):
+def _mlp(cfg, p, x, layer_calib, qcfg, norm_w=None):
+    if norm_w is not None and "moe" in p:
+        x = llama.rms_norm(x, norm_w, cfg.rms_eps)
+        norm_w = None
     if "moe" in p:
         # MoE layer: routed stacked-expert FFN (+ optional Qwen shared
         # expert). Decode sees B·1 tokens -> dense mode; prefill above
@@ -137,7 +165,12 @@ def _mlp(cfg, p, x, layer_calib, qcfg):
     b, t, d = x.shape
     dtype = x.dtype
     x2 = x.reshape(b * t, d)
-    xa, gx = quantized._act_quantize(x2, layer_calib["mlp_in"], qcfg)
+    if norm_w is None:
+        xa, gx = quantized._act_quantize(x2, layer_calib["mlp_in"],
+                                         qcfg)
+    else:
+        xa, gx = _norm_quantize(x2, norm_w, cfg.rms_eps,
+                                layer_calib["mlp_in"], qcfg)
     # bf16 GEMM output + f32 silu·up mirrors the reference (half GEMM
     # out, float activation math, qLlamaLayer.py:422-443); an f32
     # gateup output materializes 2x the bytes of the widest activation
@@ -329,16 +362,16 @@ class InferenceEngine:
 
         for li, p in enumerate(qparams["layers"]):
             lc = calib[li]
-            h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
-            q, k, v = _attn_common(cfg, p, h.reshape(b * t, -1), lc,
-                                   qcfg, b, t, dt)
+            q, k, v = _attn_common(cfg, p, x.reshape(b * t, -1), lc,
+                                   qcfg, b, t, dt,
+                                   norm_w=p["attn_norm"])
             q, k_r = llama.apply_rope(q, k, cos, sin)
             cache = paged.append_kv(cache, li, k_r, v, page_table,
                                     append_pos)
             attn = flash_attention(q, k_r, v)
             x = x + _o_proj(cfg, p, attn, lc, qcfg, b, t, dt)
-            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-            x = x + _mlp(cfg, p, h, lc, qcfg)
+            x = x + _mlp(cfg, p, x, lc, qcfg,
+                         norm_w=p["mlp_norm"])
 
         x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
         last = jnp.take_along_axis(
@@ -376,17 +409,17 @@ class InferenceEngine:
 
         for li, p in enumerate(qparams["layers"]):
             lc = calib[li]
-            h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
-            q, k, v = _attn_common(cfg, p, h.reshape(b * t, -1), lc,
-                                   qcfg, b, t, dt)
+            q, k, v = _attn_common(cfg, p, x.reshape(b * t, -1), lc,
+                                   qcfg, b, t, dt,
+                                   norm_w=p["attn_norm"])
             q, k_r = llama.apply_rope(q, k, cos, sin)
             cache = paged.append_kv(cache, li, k_r, v, page_table,
                                     append_pos)
             attn = paged_prefill(q, cache, li, page_table, start,
                                  kv_lens)
             x = x + _o_proj(cfg, p, attn.astype(dt), lc, qcfg, b, t, dt)
-            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-            x = x + _mlp(cfg, p, h, lc, qcfg)
+            x = x + _mlp(cfg, p, x, lc, qcfg,
+                         norm_w=p["mlp_norm"])
 
         x = llama.rms_norm(x, qparams["final_norm"], cfg.rms_eps)
         if all_logits:
@@ -417,9 +450,9 @@ class InferenceEngine:
 
         for li, p in enumerate(qparams["layers"]):
             lc = calib[li]
-            h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
-            q, k, v = _attn_common(cfg, p, h.reshape(b, -1), lc, qcfg,
-                                   b, 1, dt)
+            q, k, v = _attn_common(cfg, p, x.reshape(b, -1), lc,
+                                   qcfg, b, 1, dt,
+                                   norm_w=p["attn_norm"])
             q, k_r = llama.apply_rope(q, k, cos, sin)
             cache = paged.append_kv(cache, li, k_r, v, page_table,
                                     append_pos)
@@ -427,8 +460,8 @@ class InferenceEngine:
                                 new_lens)[:, None]
             x = x + _o_proj(cfg, p, attn.astype(dt), lc, qcfg,
                             b, 1, dt)
-            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-            x = x + _mlp(cfg, p, h, lc, qcfg)
+            x = x + _mlp(cfg, p, x, lc, qcfg,
+                         norm_w=p["mlp_norm"])
 
         x = llama.rms_norm(x[:, 0], qparams["final_norm"], cfg.rms_eps)
         logits = self._head_logits(qparams, x)

@@ -146,15 +146,20 @@ def _actq_kernel(*refs, k: int, kq: int, mode: str, eps: float):
         gate_ref, up_ref, oxa_ref, ogx_ref = refs
         gate = gate_ref[:].astype(jnp.float32)
         xf = jax.nn.silu(gate) * up_ref[:].astype(jnp.float32)
-        # the engine's unfused path materializes silu(g)*u in bf16
-        # before re-quantizing (engine.py _mlp); round identically so
-        # fused == unfused stays bit-for-bit
-        xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
+        # the engine's unfused path materializes silu(g)*u in the
+        # activation dtype before re-quantizing (engine.py _mlp);
+        # round identically so fused == unfused stays bit-for-bit
+        # (no-op for f32 engines)
+        xf = xf.astype(gate_ref.dtype).astype(jnp.float32)
     elif mode == "rmsnorm":
         x_ref, w_ref, oxa_ref, ogx_ref = refs
         xf = x_ref[:].astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        xf = xf * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32)
+        # mimic llama.rms_norm's rounding chain exactly: the
+        # normalized value rounds to x.dtype BEFORE the w multiply,
+        # and the product rounds per jnp promotion (bf16*bf16 -> bf16)
+        nm = (xf * jax.lax.rsqrt(var + eps)).astype(x_ref.dtype)
+        xf = (nm * w_ref[:]).astype(jnp.float32)
     else:
         x_ref, oxa_ref, ogx_ref = refs
         xf = x_ref[:].astype(jnp.float32)
@@ -329,9 +334,12 @@ def rmsnorm_quantize_x(x: jax.Array, norm_w: jax.Array, eps: float,
     if _actq_pallas_ok(m, k, kq, per_row) and select_num == 0:
         return _actq_pallas(x, norm_w, mode="rmsnorm", k=k, kq=kq,
                             eps=eps)
+    # same rounding chain as llama.rms_norm (normalized value rounds
+    # to x.dtype before the w multiply), so fused == fallback ==
+    # engine-unfused bit-for-bit
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    normed = xf * jax.lax.rsqrt(var + eps) * norm_w.astype(jnp.float32)
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * norm_w
     return quantize_x_arc(normed, reorder_index, select_num, kq, per_row)
 
 
@@ -362,10 +370,11 @@ def silu_mul_quantize_gu(gu: jax.Array, reorder_index: jax.Array,
     if kq is None:
         kq = packing.pad_kq(k, select_num)
     if not _actq_pallas_ok(m, k, kq, per_row):
-        # engine convention: the product materializes in bf16 before
-        # the re-quantize (see the kernel's matching round)
+        # engine convention: the product materializes in the
+        # activation dtype before the re-quantize (see the kernel's
+        # matching round)
         prod = (jax.nn.silu(gu[:, :k].astype(jnp.float32))
-                * gu[:, k:].astype(jnp.float32)).astype(jnp.bfloat16)
+                * gu[:, k:].astype(jnp.float32)).astype(gu.dtype)
         return quantize_x_arc(prod, reorder_index, select_num, kq,
                               per_row)
     xa, gx = _actq_pallas(gu, None, mode="silu_mul", k=k, kq=kq)
@@ -373,6 +382,6 @@ def silu_mul_quantize_gu(gu: jax.Array, reorder_index: jax.Array,
         idx = reorder_index[-select_num:].astype(jnp.int32)
         g_cols = jnp.take(gu, idx, axis=1).astype(jnp.float32)
         u_cols = jnp.take(gu, idx + k, axis=1).astype(jnp.float32)
-        prod_cols = (jax.nn.silu(g_cols) * u_cols).astype(jnp.bfloat16)
+        prod_cols = (jax.nn.silu(g_cols) * u_cols).astype(gu.dtype)
         xa = _arc_residual_into(prod_cols, xa, gx, idx, k)
     return xa, gx

@@ -178,9 +178,9 @@ class PPInferenceEngine(InferenceEngine):
             lc = {site: quantized.SiteCalib(cidx[site][0, j],
                                             self._sels[site])
                   for site in cidx}
-            h = llama.rms_norm(x, p["attn_norm"], cfg.rms_eps)
-            q, k, v = _attn_common(cfg, p, h.reshape(b * t, -1), lc,
-                                   qcfg, b, t, dt)
+            q, k, v = _attn_common(cfg, p, x.reshape(b * t, -1), lc,
+                                   qcfg, b, t, dt,
+                                   norm_w=p["attn_norm"])
             q, k_r = llama.apply_rope(q, k, cos, sin)
             tmp = paged.PagedKVCache((codes[j][0],), (params[j][0],))
             tmp = paged.append_kv(tmp, 0, k_r, v, pt, ap)
@@ -196,8 +196,8 @@ class PPInferenceEngine(InferenceEngine):
             else:
                 attn = flash_attention(q, k_r, v)
             x = x + _o_proj(cfg, p, attn.astype(dt), lc, qcfg, b, t, dt)
-            h = llama.rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-            x = x + _mlp(cfg, p, h, lc, qcfg)
+            x = x + _mlp(cfg, p, x, lc, qcfg,
+                         norm_w=p["mlp_norm"])
         return x, paged.PagedKVCache(tuple(codes), tuple(params))
 
     def _relay(self, final_norm, head, stages, cidx, cache, pt, x,

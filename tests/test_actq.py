@@ -114,23 +114,40 @@ class TestActqPallasParity:
 
 
 class TestRmsnormFused:
-    def test_matches_unfused_chain(self):
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_llama_rmsnorm_chain(self, dtype):
+        """Fused rmsnorm+quantize vs llama.rms_norm -> golden quantize.
+
+        NOT bit-exact by design: the variance is a SUM reduce whose
+        f32 accumulation order differs between lowering contexts
+        (eager vs fused vs Mosaic), so the bf16 normalized values can
+        flip on ulp boundaries and the quantized outputs move by at
+        most one e2m1 step on those elements. (plain and silu_mul
+        modes have no sum reduce and ARE bit-exact — see
+        TestActqPallasParity / TestSiluMulGu.)"""
+        from arcquant_tpu.models import llama
         m, k = 256, 512
-        x = synthetic_x(jax.random.PRNGKey(4), m, k, jnp.bfloat16)
-        w = jax.random.normal(jax.random.PRNGKey(5), (k,)) * 0.1 + 1
+        x = synthetic_x(jax.random.PRNGKey(4), m, k, dtype)
+        w = (jax.random.normal(jax.random.PRNGKey(5), (k,)) * 0.1 + 1
+             ).astype(dtype)
         ridx = jnp.arange(k, dtype=jnp.int32)
         xa, gx = qk.rmsnorm_quantize_x(x, w, 1e-6, ridx, 0,
                                        per_row=True)
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        normed = xf * jax.lax.rsqrt(var + 1e-6) * w.astype(jnp.float32)
+        normed = llama.rms_norm(x, w, 1e-6)
         golden, ggx = arc.arc_quantize_x_qdq(normed, ridx, 0,
                                              per_row=True)
-        np.testing.assert_allclose(
-            np.asarray(xa[:, :k], np.float32),
-            np.asarray(golden, np.float32), rtol=2e-2, atol=2e-2)
+        a = np.asarray(xa[:, :k], np.float32)
+        g = np.asarray(golden, np.float32)
+        frac = float((a != g).mean())
+        assert frac < 0.03, f"too many boundary flips: {frac}"
+        # flipped elements moved to an ADJACENT grid point: the gap
+        # between neighboring representable values is at most
+        # max(|a|,|g|) (the 0 <-> 0.5*scale step), never more
+        gap = np.abs(a - g)
+        bound = np.maximum(np.abs(a), np.abs(g)) * 1.0001 + 1e-6
+        assert (gap <= bound).all()
         np.testing.assert_allclose(np.asarray(gx), np.asarray(ggx),
-                                   rtol=1e-5)
+                                   rtol=1e-2)
 
 
 class TestSiluMulGu:
