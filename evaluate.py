@@ -56,6 +56,11 @@ def main():
                     "(reference runs mmlu with 5)")
     ap.add_argument("--select_frac", type=float, default=0.125,
                     help="ARC fraction when no --calib given")
+    ap.add_argument("--lm_eval", default="",
+                    help="comma-separated lm-eval-harness task names "
+                    "(requires the lm_eval package + an HF model dir; "
+                    "reference main.py:177-190 parity — any harness "
+                    "task, not just the hand-implemented suite)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -113,6 +118,24 @@ def main():
                        calib=eval_calib)
         print(f"Result,{args.dataset},{ppl}")
         logging.info("Result,%s,%s", args.dataset, ppl)
+
+    if args.lm_eval:
+        try:
+            import lm_eval
+        except ImportError:
+            sys.exit("--lm_eval needs the lm_eval package (not in "
+                     "this environment); use --tasks for the "
+                     "built-in suite")
+        from arcquant_tpu.evals.lm_eval_adapter import make_lm
+        from arcquant_tpu.models import hf
+        tokenizer = hf.load_tokenizer(args.model)
+        lm = make_lm(cfg, qparams, eval_calib, eval_qcfg, tokenizer,
+                     max_len=args.seqlen)
+        res = lm_eval.simple_evaluate(model=lm,
+                                      tasks=args.lm_eval.split(","))
+        for task, metrics in res["results"].items():
+            print(f"LmEval,{task},{metrics}")
+            logging.info("LmEval,%s,%s", task, metrics)
 
     if args.tasks:
         from arcquant_tpu.evals.tasks import evaluate_tasks
