@@ -84,6 +84,31 @@ def main():
         lambda g: qk.silu_mul_quantize_x(
             g, xi, ridx_i, 0, per_row=True)[0], gate)
 
+    # ---- DECODE shapes (M=4): XLA act-quant fixed costs are 8-39 us
+    # per site (decode_profile r4) — can the Pallas kernel beat them?
+    md = 4
+    xd = jax.random.normal(key, (md, d), jnp.bfloat16)
+    xdi = jax.random.normal(key, (md, inter), jnp.bfloat16)
+    gud = jax.random.normal(key, (md, 2 * inter), jnp.bfloat16)
+    for on in (False, True):
+        os.environ[qk._ACTQ_PALLAS_M_ENV] = "4" if on else "0"
+        qk._actq_pallas_min_m.cache_clear()
+        tag = "pallas" if on else "xla"
+        rec(f"M=4 quantize_x K=3584 [{tag}]",
+            lambda xx: qk.quantize_x_arc(xx, ridx_d, 0,
+                                         per_row=True)[0], xd)
+        rec(f"M=4 quantize_x K=18944 [{tag}]",
+            lambda xx: qk.quantize_x_arc(xx, ridx_i, 0,
+                                         per_row=True)[0], xdi)
+        rec(f"M=4 silu_mul_gu K=18944 [{tag}]",
+            lambda g: qk.silu_mul_quantize_gu(g, ridx_i, 0,
+                                              per_row=True)[0], gud)
+        rec(f"M=4 rmsnorm_quantize K=3584 [{tag}]",
+            lambda xx: qk.rmsnorm_quantize_x(
+                xx, jnp.ones((d,), jnp.bfloat16), cfg.rms_eps,
+                ridx_d, 0, per_row=True)[0], xd)
+    set_pallas(True)
+
     # ---- unprofiled prefill pieces at bs=4 x 1024 ----
     from arcquant_tpu.cache import paged
     from arcquant_tpu.engine.engine import EngineConfig
