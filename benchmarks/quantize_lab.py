@@ -84,6 +84,45 @@ def main():
         lambda g: qk.silu_mul_quantize_x(
             g, xi, ridx_i, 0, per_row=True)[0], gate)
 
+    # ---- actq kernel internals: what dominates, the 8 full-row
+    # rolls of the group-max butterfly or the qdq arithmetic?
+    # (perf probes only — wrong numerics — via monkeypatched
+    # _group_qdq_rows)
+    real_gq = qk._group_qdq_rows
+
+    def _no_butterfly(xs):
+        scale = qk._ue4m3_qdq_bits(jnp.abs(xs) * 0.9)  # fake scale
+        return qk._e2m1_qdq_scaled_i32(xs, scale)
+
+    def _bf16_butterfly(xs):
+        import jax as _j
+        bm, k = xs.shape
+        a = jnp.abs(xs).astype(jnp.bfloat16)
+        lane = _j.lax.broadcasted_iota(jnp.int32, (bm, k), 1)
+        from jax.experimental.pallas import tpu as _pt
+        for dd in (1, 2, 4, 8):
+            fwd = _pt.roll(a, k - dd, axis=1)
+            bwd = _pt.roll(a, dd, axis=1)
+            a = jnp.maximum(a, jnp.where((lane & dd) != 0, bwd, fwd))
+        scale = qk._ue4m3_qdq_bits(a.astype(jnp.float32)
+                                   * qk.N.INV_E2M1_MAX)
+        return qk._e2m1_qdq_scaled_i32(xs, scale)
+
+    for name, variant in (("no-butterfly", _no_butterfly),
+                          ("bf16-butterfly", _bf16_butterfly)):
+        qk._group_qdq_rows = variant
+        qk._actq_call.clear_cache()   # kernel closes over the global
+        try:
+            rec(f"quantize_x K=18944 [pallas {name}]",
+                lambda xx: qk.quantize_x_arc(
+                    xx, ridx_i, 0, per_row=True)[0], xi)
+        except Exception as e:                       # noqa: BLE001
+            print(f"variant {name} failed: {type(e).__name__}: "
+                  f"{e}"[:160], flush=True)
+        finally:
+            qk._group_qdq_rows = real_gq
+    qk._actq_call.clear_cache()
+
     # ---- DECODE shapes (M=4): XLA act-quant fixed costs are 8-39 us
     # per site (decode_profile r4) — can the Pallas kernel beat them?
     md = 4
