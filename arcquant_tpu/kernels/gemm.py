@@ -411,7 +411,28 @@ def _decode_blocks_w8(m: int, kq: int, n: int):
     else:
         from ..quant.packing import best_k_block
         bk = best_k_block(kq) or _pick_block(kq, (512, 256, 128, 64))
-    bn = _best_n_block(n, bk, _BLOCK_CAP)
+    # scoped-vmem budget includes the bm-dependent pieces: the f32
+    # accumulator + double-buffered bf16 output scale with bn*bm (an
+    # m=64 gateup stripe at the codes-only cap OOM'd scoped vmem by
+    # 376K — round-4 autotune). Solve the whole block set <= ~12 MB.
+    bm = min(_round_up(max(m, 1), 16), 512)
+    cap = _BLOCK_CAP
+    bn = _best_n_block(n, bk, cap)
+    while bn and (2 * bk * bn            # i8 codes, double-buffered
+                  + 2 * (bk // 16) * bn  # scale bytes
+                  + 2 * bm * bk * 2      # bf16 x blocks
+                  + bm * bn * 4          # f32 accumulator
+                  + 2 * bm * bn * 2      # bf16 out, double-buffered
+                  # 14 MB threshold = the 16 MB scoped limit minus
+                  # the ~1 MB this estimate undercounts (measured:
+                  # est 15.3 MB -> actual 16.37); m=32 gateup keeps
+                  # its measured-optimal bn=9472 (est 12.8 MB)
+                  ) > 14 * 2 ** 20:
+        cap = cap // 2
+        nb = _best_n_block(n, bk, cap)
+        if nb == bn:
+            break
+        bn = nb
     if bn == 0:
         bn = _pick_block(n, (512, 256, 128))
     return bk, bn
