@@ -82,9 +82,12 @@ _ACTQ_PALLAS_M_ENV = "ARC_ACTQ_PALLAS_M"
 
 @functools.lru_cache()
 def _actq_pallas_min_m() -> int:
-    """Min M for the fused Pallas act-quantize (0 disables). Decode
-    shapes stay on the XLA path (already fused + tuned there)."""
-    return int(os.environ.get(_ACTQ_PALLAS_M_ENV, "256"))
+    """Min M for the fused Pallas act-quantize (0 disables). Default
+    covers DECODE shapes too: the XLA lowering costs 8-39 us per site
+    at M=4 (fixed overheads, round-4 decode_profile) and the kernel
+    beats it — 28L decode 13.63 -> 12.40 ms/step in the on-chip A/B
+    (results/r4/e2e_28L_actq4.log)."""
+    return int(os.environ.get(_ACTQ_PALLAS_M_ENV, "4"))
 
 
 def _ue4m3_qdq_bits(s: jax.Array) -> jax.Array:

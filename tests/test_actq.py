@@ -168,11 +168,15 @@ class TestSiluMulGu:
             np.asarray(golden, np.float32))
         np.testing.assert_array_equal(np.asarray(gx), np.asarray(ggx))
 
-    def test_small_m_fallback(self):
+    def test_small_m_fallback(self, monkeypatch):
+        monkeypatch.setenv(qk._ACTQ_PALLAS_M_ENV, "256")
+        qk._actq_pallas_min_m.cache_clear()
         m, f = 8, 512
         gu = synthetic_x(jax.random.PRNGKey(7), m, 2 * f, jnp.bfloat16)
         ridx = jnp.arange(f, dtype=jnp.int32)
         xa, gx = qk.silu_mul_quantize_gu(gu, ridx, 64, per_row=True)
+        monkeypatch.delenv(qk._ACTQ_PALLAS_M_ENV)
+        qk._actq_pallas_min_m.cache_clear()
         inter = (jax.nn.silu(gu[:, :f].astype(jnp.float32))
                  * gu[:, f:].astype(jnp.float32)).astype(jnp.bfloat16)
         golden, _ = arc.arc_quantize_x_qdq(inter, ridx, 64,
