@@ -61,8 +61,11 @@ def main():
                     ("quant down_in", inter)):
         xq = jax.random.normal(key, (b, k), jnp.bfloat16)
         mult = 28 * (2 if k == d else 1)
+        # per_row=True matches the engine's act_scale="row" config
+        # (without it the dispatch falls to the XLA path the engine
+        # no longer uses at decode)
         total += t(f"{name}", lambda xx, r: qk.quantize_x_arc(
-            xx, r, 0, kq=packing.pad_kq(k, 0))[0], xq,
+            xx, r, 0, kq=packing.pad_kq(k, 0), per_row=True)[0], xq,
             jnp.arange(k, dtype=jnp.int32), mult=mult)
 
     # --- rmsnorm ---
