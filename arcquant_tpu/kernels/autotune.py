@@ -115,6 +115,25 @@ def lookup(fmt: str, m: int, kq: int, n: int) -> Optional[str]:
         "fused", float("inf")) else "fused"
 
 
+def lookup_blocks(fmt: str, m: int, kq: int,
+                  n: int) -> Optional[Tuple[int, int]]:
+    """Measured-best (bk, bn) for the FUSED kernel at this shape, or
+    None (heuristic applies). Entries are validated against the shape
+    (a table copied from another model/device must not produce an
+    illegal grid)."""
+    t = _load()
+    if not t:
+        return None
+    e = t.get(_key(fmt, _m_bucket(m), kq, n))
+    if e is None:
+        return None
+    bk, bn = e.get("bk", 0), e.get("bn", 0)
+    if (bk and bn and kq % bk == 0 and n % bn == 0
+            and bk % 128 == 0 and bn % 128 == 0):
+        return bk, bn
+    return None
+
+
 def _persist() -> None:
     path = _user_table_path()
     try:
@@ -152,8 +171,33 @@ def measure_packed(pw, m: int, *, n1: int = 64, n2: int = 576,
     saved = os.environ.get(gemm._DMA_M_ENV)
     try:
         os.environ[gemm._DMA_M_ENV] = "0"
-        t_fused = bench_op(lambda xx: gemm.gemm_dequant(xx, pw, gx),
-                           xa, n1=n1, n2=n2)
+        # Sweep fused block shapes (heuristic candidate first): the
+        # per-grid-step fixed cost makes block choice worth 5-20% at
+        # decode shapes, and only measurement ranks it reliably.
+        t_fused, best_blk = float("inf"), None
+        if fmt == "w8" and m <= 64:
+            for bk_c, bn_c in gemm.fused_block_candidates(m, kq, n):
+                try:
+                    t_c = bench_op(
+                        lambda xx, bk_c=bk_c, bn_c=bn_c:
+                        gemm.gemm_dequant(xx, pw, gx, bk=bk_c,
+                                          bn=bn_c),
+                        xa, n1=n1, n2=n2)
+                except Exception as e:           # noqa: BLE001
+                    print(f"autotune: fused bk={bk_c} bn={bn_c} "
+                          f"failed for {kq}x{n}: "
+                          f"{type(e).__name__}"[:160], file=sys.stderr)
+                    continue
+                if verbose:
+                    print(f"autotune {fmt} m={m} {kq}x{n}: fused "
+                          f"bk={bk_c} bn={bn_c} {t_c*1e6:.2f} us",
+                          file=sys.stderr)
+                if t_c < t_fused:
+                    t_fused, best_blk = t_c, (bk_c, bn_c)
+        else:
+            t_fused = bench_op(
+                lambda xx: gemm.gemm_dequant(xx, pw, gx),
+                xa, n1=n1, n2=n2)
         t_dma = float("inf")
         if fmt == "w8":
             try:
@@ -174,6 +218,8 @@ def measure_packed(pw, m: int, *, n1: int = 64, n2: int = 576,
             os.environ[gemm._DMA_M_ENV] = saved
 
     entry = {"fused": t_fused, "dma": t_dma}
+    if best_blk is not None:
+        entry["bk"], entry["bn"] = best_blk
     if verbose:
         win = "dma" if t_dma < t_fused else "fused"
         print(f"autotune {fmt} m={m} {kq}x{n}: fused "
@@ -187,10 +233,12 @@ def measure_packed(pw, m: int, *, n1: int = 64, n2: int = 576,
 
 
 def autotune_shapes(shapes, m: int, *, fmt: str = "w8",
-                    verbose: bool = True) -> Dict[str, dict]:
+                    verbose: bool = True,
+                    force: bool = False) -> Dict[str, dict]:
     """Tune synthetic weights for (kq, n) pairs at batch m.
 
-    Shapes already in the table are skipped (measure once, reuse).
+    Shapes already in the table are skipped (measure once, reuse)
+    unless force=True (re-measure, e.g. after a kernel change).
     """
     from ..quant.packing import pack_weight_arc
 
@@ -198,7 +246,7 @@ def autotune_shapes(shapes, m: int, *, fmt: str = "w8",
     out = {}
     for kq, n in shapes:
         k = _key(fmt, _m_bucket(m), kq, n)
-        if k in t:
+        if k in t and not force:
             out[k] = t[k]
             continue
         w = (jax.random.normal(jax.random.PRNGKey(hash((kq, n)) % 2**31),
@@ -211,10 +259,13 @@ def autotune_shapes(shapes, m: int, *, fmt: str = "w8",
     return out
 
 
-def engine_weight_shapes(cfg, select_num: int = 0) -> list:
+def engine_weight_shapes(cfg, select_num: int = 0,
+                         include_head: bool = False) -> list:
     """Distinct (kq, n) decode-GEMM shapes for a model config, in the
     FUSED engine layout (qkv / o / gateup / down; see
-    engine.quantize_layer_params_fused)."""
+    engine.quantize_layer_params_fused). include_head adds the W4A16
+    lm_head shape (runs once per decode step — 775 us at 152k vocab,
+    worth tuning too)."""
     from ..quant.packing import pad_kq
 
     h = cfg.hidden_size
@@ -227,6 +278,8 @@ def engine_weight_shapes(cfg, select_num: int = 0) -> list:
         (pad_kq(h, select_num), 2 * inter),         # gateup
         (pad_kq(inter, select_num), h),             # down
     }
+    if include_head and getattr(cfg, "vocab_size", 0):
+        shapes.add((pad_kq(h, 0), cfg.vocab_size))  # lm_head (KE=0)
     return sorted(shapes)
 
 

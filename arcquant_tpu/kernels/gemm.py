@@ -438,6 +438,39 @@ def _decode_blocks_w8(m: int, kq: int, n: int):
     return bk, bn
 
 
+def _fused_vmem_est(bm: int, bk: int, bn: int) -> int:
+    """Scoped-VMEM estimate for one fused w8 block set (see the
+    budget comment in _decode_blocks_w8)."""
+    return (2 * bk * bn + 2 * (bk // 16) * bn + 2 * bm * bk * 2
+            + bm * bn * 4 + 2 * bm * bn * 2)
+
+
+def fused_block_candidates(m: int, kq: int, n: int) -> list:
+    """Candidate (bk, bn) block shapes for the fused w8 decode GEMM,
+    heuristic pick first — the autotuner (kernels/autotune.py) times
+    each on-chip and persists the winner. Reference analog: the
+    CUTLASS tile-config candidate list in nvfp4.cu, selected at
+    template-instantiation time; here selection is a measured table
+    because the per-grid-step fixed cost (~0.4 us on v5e) is runtime
+    behaviour Mosaic does not model."""
+    bm = min(_round_up(max(m, 1), 16), 512)
+    cands = [_decode_blocks_w8(m, kq, n)]
+    for bk in (512, 1024, 2048):
+        if kq % bk:
+            continue
+        for cap in (_BLOCK_CAP, 2 * _BLOCK_CAP, _BLOCK_CAP // 2):
+            bn = _best_n_block(n, bk, cap)
+            while bn and _fused_vmem_est(bm, bk, bn) > 14 * 2 ** 20:
+                nb = _best_n_block(n, bk, max(bk * bn // 2, bk * 128))
+                if nb == bn:
+                    bn = 0
+                else:
+                    bn = nb
+            if bn and (bk, bn) not in cands:
+                cands.append((bk, bn))
+    return cands
+
+
 def split_even_odd(xa: jax.Array) -> jax.Array:
     """[M, Kq] -> [M, Kq] with even-k columns first, then odd-k
     (the w4 kernel's stacked activation layout)."""
@@ -714,7 +747,9 @@ def gemm_dequant(xa: jax.Array,
         xa = split_even_odd(xa)
     x = xa.astype(jnp.bfloat16)
     if fmt == "w8" and m <= 64 and bk == 0 and bn == 0:
-        bk, bn = _decode_blocks_w8(m, kq, n)
+        from .autotune import lookup_blocks
+        blk = lookup_blocks(fmt, m, kq, n)
+        bk, bn = blk if blk is not None else _decode_blocks_w8(m, kq, n)
     if bk == 0:
         from ..quant.packing import best_k_block
         if fmt == "w4":

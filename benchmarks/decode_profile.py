@@ -57,8 +57,7 @@ def main():
             xx, pw, jnp.float32(1.0)), xa, pws[name], mult=28)
 
     # --- activation quantize sites ---
-    for name, k in (("quant attn_in/mlp_in", d), ("quant o_in", qs),
-                    ("quant down_in", inter)):
+    for name, k in (("quant attn_in/mlp_in", d), ("quant o_in", qs)):
         xq = jax.random.normal(key, (b, k), jnp.bfloat16)
         mult = 28 * (2 if k == d else 1)
         # per_row=True matches the engine's act_scale="row" config
@@ -67,6 +66,15 @@ def main():
         total += t(f"{name}", lambda xx, r: qk.quantize_x_arc(
             xx, r, 0, kq=packing.pad_kq(k, 0), per_row=True)[0], xq,
             jnp.arange(k, dtype=jnp.int32), mult=mult)
+    # down_in goes through the FUSED silu-mul quantize in the engine
+    # (engine.py _mlp) — time that, not the plain site (the plain
+    # kernel is 2 us here while the silu_mul mode costs what the
+    # engine actually pays)
+    gu = jax.random.normal(key, (b, 2 * inter), jnp.bfloat16)
+    total += t("quant down_in (silu-gu)",
+               lambda g, r: qk.silu_mul_quantize_gu(
+                   g, r, 0, per_row=True)[0], gu,
+               jnp.arange(inter, dtype=jnp.int32), mult=28)
 
     # --- rmsnorm ---
     wn = jnp.ones((d,), jnp.bfloat16)

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--shapes", default="",
                     help="extra KQxN pairs, comma-separated")
     ap.add_argument("--fmt", default="w8", choices=["w8"])
+    ap.add_argument("--head", action="store_true",
+                    help="include the W4A16 lm_head shape")
+    ap.add_argument("--force", action="store_true",
+                    help="re-measure shapes already in the table")
     args = ap.parse_args()
 
     from arcquant_tpu.kernels import autotune
@@ -38,15 +42,18 @@ def main():
     if args.model:
         from arcquant_tpu.config import get_model_config
         cfg = get_model_config(args.model)
-        shapes += autotune.engine_weight_shapes(cfg, args.select_num)
+        shapes += autotune.engine_weight_shapes(
+            cfg, args.select_num, include_head=args.head)
     for s in filter(None, args.shapes.split(",")):
         kq, n = s.lower().split("x")
         shapes.append((int(kq), int(n)))
 
-    res = autotune.autotune_shapes(shapes, args.m, fmt=args.fmt)
+    res = autotune.autotune_shapes(shapes, args.m, fmt=args.fmt,
+                                   force=args.force)
     table = {k: {"fused_us": round(v["fused"] * 1e6, 2),
                  "dma_us": (round(v["dma"] * 1e6, 2)
                             if v["dma"] != float("inf") else None),
+                 "blocks": ([v["bk"], v["bn"]] if "bk" in v else None),
                  "winner": ("dma" if v["dma"] < v["fused"]
                             else "fused")}
              for k, v in res.items()}

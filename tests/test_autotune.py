@@ -122,9 +122,58 @@ class TestPersistence:
         saved = json.loads(path.read_text())
         key = f"w8|16|{pw.kq}|{pw.n}"
         assert key in saved
-        assert set(saved[key]) == {"fused", "dma"}
+        assert {"fused", "dma"} <= set(saved[key])
         autotune.invalidate_cache()
         assert autotune.lookup("w8", 4, pw.kq, pw.n) in ("fused", "dma")
+        # the block sweep records a winner that lookup_blocks serves
+        blk = autotune.lookup_blocks("w8", 4, pw.kq, pw.n)
+        if blk is not None:
+            bk, bn = blk
+            assert pw.kq % bk == 0 and pw.n % bn == 0
+
+
+class TestBlockTable:
+    def test_lookup_blocks_served_and_validated(self, tmp_path,
+                                                monkeypatch):
+        _table(tmp_path, monkeypatch, {
+            "w8|16|1024|512": {"fused": 1e-6, "dma": 2e-6,
+                               "bk": 512, "bn": 512},
+            # stale entry from another model: blocks don't divide
+            "w8|16|2048|768": {"fused": 1e-6, "dma": 2e-6,
+                               "bk": 768, "bn": 512},
+        })
+        assert autotune.lookup_blocks("w8", 4, 1024, 512) == (512, 512)
+        assert autotune.lookup_blocks("w8", 4, 2048, 768) is None
+        assert autotune.lookup_blocks("w8", 4, 4096, 4096) is None
+
+    def test_candidates_legal(self):
+        for m, kq, n in ((4, 3584, 37888), (4, 19456, 3584),
+                         (16, 3584, 152064), (4, 3584, 4608)):
+            cands = gemm.fused_block_candidates(m, kq, n)
+            assert cands, (m, kq, n)
+            bm = 16
+            for bk, bn in cands:
+                assert kq % bk == 0 and n % bn == 0
+                assert bk % 128 == 0 and bn % 128 == 0
+                assert gemm._fused_vmem_est(bm, bk, bn) <= 14 * 2 ** 20
+
+    def test_measured_blocks_stay_bit_exact(self, tmp_path,
+                                            monkeypatch):
+        """A table-provided block shape must not change numerics."""
+        w = jax.random.normal(jax.random.PRNGKey(7), (512, 960)) * 0.05
+        ridx = jnp.arange(960, dtype=jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, 64, fmt="w8")
+        x = jax.random.normal(jax.random.PRNGKey(8), (4, 960))
+        xa, gx = qk.quantize_x_arc(x, ridx, 64, kq=pw.kq)
+        monkeypatch.setenv("ARC_AUTOTUNE_FILE",
+                           str(tmp_path / "none.json"))
+        autotune.invalidate_cache()
+        y_heur = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        _table(tmp_path, monkeypatch, {
+            f"w8|16|{pw.kq}|{pw.n}": {"fused": 1e-6, "dma": 2e-6,
+                                      "bk": 256, "bn": 256}})
+        y_blk = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        assert bool(jnp.all(y_blk == y_heur))
 
 
 def test_engine_weight_shapes():
