@@ -2,9 +2,11 @@
 # Round-4 queue 9 (continuation session): re-measure at HEAD
 # (6a190ee + ee6c65f — completed autotune dispatch table with measured
 # block shapes) since queue7/queue8 never ran (tunnel was down).
-# Order = priority: headline bench first, then 14L A/B, 28L e2e,
-# decode profile. Runs against a HEAD snapshot in /tmp/r4repo so live
-# edits in /root/repo don't skew measurements.
+# The bf16 e2e side is NOT re-run: those commits only change packed-
+# GEMM dispatch, so e2e_14L_bf16_f.log (238.98 ms prefill /
+# 10.665 ms/step, repeats=3) remains the HEAD bf16 baseline.
+# Runs against a HEAD snapshot in /tmp/r4repo so live edits in
+# /root/repo don't skew measurements.
 set -u
 R=/root/repo/results/r4
 SNAP=/tmp/r4repo
@@ -17,7 +19,7 @@ cd "$SNAP"
 export PYTHONUNBUFFERED=1
 status() { echo "$(date +%H:%M:%S) $*" >> "$R/queue9_status.log"; }
 probe() { timeout 60 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }
-status "queue9 waiting for tunnel (HEAD=$(git -C /root/repo rev-parse --short HEAD))"
+status "queue9 v2 waiting for tunnel (HEAD=$(git -C /root/repo rev-parse --short HEAD))"
 until probe; do sleep 30; done
 status "TUNNEL ALIVE"
 step() {
@@ -30,11 +32,9 @@ step bench_head 1200 python bench.py
 step e2e_14L_quant_h 1500 python -m benchmarks.benchmark_e2e \
   --model qwen2.5-7b --layers 14 --batch_size 4 \
   --prefill_seq_len 1024 --decode_steps 128 --repeats 3
-step e2e_14L_bf16_h 1500 python -m benchmarks.benchmark_e2e \
-  --model qwen2.5-7b --layers 14 --batch_size 4 \
-  --prefill_seq_len 1024 --decode_steps 128 --repeats 3 --quant BF16
 step e2e_28L_h 900 python -m benchmarks.benchmark_e2e \
   --model qwen2.5-7b --layers 28 --batch_size 4 \
   --prefill_seq_len 1024 --decode_steps 128 --repeats 3
 step decode_profile_h 1200 python -m benchmarks.decode_profile
+step silu_m4_lab 900 python -m benchmarks.silu_m4_lab
 status "queue9 COMPLETE"
