@@ -356,6 +356,24 @@ def silu_mul_quantize_x(gate: jax.Array, up: jax.Array,
     return quantize_x_arc(prod, reorder_index, select_num, kq, per_row)
 
 
+_SILU_GU_DEFUSE_M_ENV = "ARC_SILU_GU_DEFUSE_M"
+
+
+@functools.lru_cache()
+def _silu_gu_defuse_m() -> int:
+    """Max M routed through XLA silu*mul feeding the PLAIN actq
+    kernel instead of the fused silu_mul Pallas mode (0 = always
+    fused). The fused mode's win is HBM passes (prefill); at decode
+    shapes the kernel is pure ALU-bound and the silu exp runs on the
+    critical path of every element (M=4 site costs 41 us vs 4 us for
+    the plain kernel at K=3584 — results/r4/decode_profile2.log).
+    Numerics are identical either way: the kernel materializes the
+    product in the activation dtype exactly like the XLA producer
+    (parity pinned in tests/test_actq.py). Default off until the
+    on-chip A/B (benchmarks/silu_m4_lab.py) picks the winner."""
+    return int(os.environ.get(_SILU_GU_DEFUSE_M_ENV, "0"))
+
+
 def silu_mul_quantize_gu(gu: jax.Array, reorder_index: jax.Array,
                          select_num: int, kq: int | None = None,
                          per_row: bool = False):
@@ -372,7 +390,7 @@ def silu_mul_quantize_gu(gu: jax.Array, reorder_index: jax.Array,
     k = k2 // 2
     if kq is None:
         kq = packing.pad_kq(k, select_num)
-    if not _actq_pallas_ok(m, k, kq, per_row):
+    if not _actq_pallas_ok(m, k, kq, per_row) or m <= _silu_gu_defuse_m():
         # engine convention: the product materializes in the
         # activation dtype before the re-quantize (see the kernel's
         # matching round)

@@ -168,6 +168,25 @@ class TestSiluMulGu:
             np.asarray(golden, np.float32))
         np.testing.assert_array_equal(np.asarray(gx), np.asarray(ggx))
 
+    @pytest.mark.parametrize("ke", [0, 64])
+    def test_defused_dispatch_identical(self, monkeypatch, ke):
+        """ARC_SILU_GU_DEFUSE_M routes small M through XLA silu*mul +
+        the PLAIN actq kernel; output must stay bit-identical to the
+        fused silu_mul mode (the decode-perf flag must never move
+        numerics)."""
+        m, f = 8, 512
+        gu = synthetic_x(jax.random.PRNGKey(8), m, 2 * f, jnp.bfloat16)
+        ridx = jnp.arange(f, dtype=jnp.int32)
+        xa0, gx0 = qk.silu_mul_quantize_gu(gu, ridx, ke, per_row=True)
+        monkeypatch.setenv(qk._SILU_GU_DEFUSE_M_ENV, "64")
+        qk._silu_gu_defuse_m.cache_clear()
+        xa1, gx1 = qk.silu_mul_quantize_gu(gu, ridx, ke, per_row=True)
+        monkeypatch.delenv(qk._SILU_GU_DEFUSE_M_ENV)
+        qk._silu_gu_defuse_m.cache_clear()
+        np.testing.assert_array_equal(np.asarray(xa0, np.float32),
+                                      np.asarray(xa1, np.float32))
+        np.testing.assert_array_equal(np.asarray(gx0), np.asarray(gx1))
+
     def test_small_m_fallback(self, monkeypatch):
         monkeypatch.setenv(qk._ACTQ_PALLAS_M_ENV, "256")
         qk._actq_pallas_min_m.cache_clear()
