@@ -260,6 +260,68 @@ def _gemm_w8_dma_kernel(gs_ref, gw_ref, x_ref, s_ref, bias_ref,
     o_ref[:] = y.astype(out_dtype)
 
 
+def _gemm_w4_dma_kernel(gs_ref, gw_ref, x_ref, s_ref, bias_ref,
+                        codes_hbm, o_ref, c_s, sems, acc_ref, *,
+                        bk: int, nbuf: int, n_k: int, out_dtype,
+                        has_bias: bool):
+    """Manual-DMA variant of the w4 fused kernel (VERDICT r4 next #4:
+    the DMA stream sustains >nominal HBM BW on shallow stripes and w4
+    halves the code traffic vs w8 — the e2m1x nibble-decode ALU may
+    hide inside the DMA wait window). Same decode expressions as
+    _gemm_w4_kernel: split-half k order, low nibble = even k, high =
+    odd k, shared per-16 ue4m3 group scale."""
+    j = pl.program_id(0)
+    bn = o_ref.shape[1]
+    bkh = bk // 2                       # code rows per k-block
+    kqh = x_ref.shape[1] // 2           # even/odd halves of x
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(
+            codes_hbm.at[pl.ds(i * bkh, bkh), pl.ds(j * bn, bn)],
+            c_s.at[slot], sems.at[slot])
+
+    for i in range(min(nbuf - 1, n_k)):
+        dma(i, i).start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def dec(nib):
+        # e2m1x affine decode (see _gemm_w4_kernel)
+        mag = nib & 0x7
+        bits = ((mag << 22) | ((nib & 0x8) << 28)) + 0x3F000000
+        f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        return jnp.where(mag == 1, 0.0, f)
+
+    def loop(i, _):
+        slot = jax.lax.rem(i, nbuf)
+
+        @pl.when(i + nbuf - 1 < n_k)
+        def _():
+            dma(jax.lax.rem(i + nbuf - 1, nbuf), i + nbuf - 1).start()
+
+        dma(slot, i).wait()
+        c = c_s[slot].astype(jnp.int32)                # [bkh, bn]
+        w_even = dec(c & 0xF)
+        w_odd = dec(c >> 4)
+        s = _decode_ue4m3_f32(
+            s_ref[pl.ds(i * (bk // 16), bk // 16), :].astype(jnp.int32))
+        se = s[:, None, :]                             # [bk//16, 1, bn]
+        w_even = (w_even.reshape(bkh // 8, 8, bn) * se).reshape(bkh, bn)
+        w_odd = (w_odd.reshape(bkh // 8, 8, bn) * se).reshape(bkh, bn)
+        w = jnp.concatenate([w_even, w_odd],
+                            axis=0).astype(jnp.bfloat16)   # [bk, bn]
+        xx = jnp.concatenate(
+            [x_ref[:, pl.ds(i * bkh, bkh)],
+             x_ref[:, pl.ds(kqh + i * bkh, bkh)]], axis=1)  # [bm, bk]
+        acc_ref[:] += jnp.dot(xx, w, preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_k, loop, 0)
+    y = acc_ref[:] * gs_ref[:] * gw_ref[:]
+    if has_bias:
+        y = y + bias_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(out_dtype)
+
+
 def _dma_blocks_w8(kq: int, n: int, nbuf: int):
     """(bk, bn) for the manual-DMA kernel. On-chip sweep at M=32
     N=K=4096 (results/r3, same-process bench_op):
@@ -291,16 +353,19 @@ def _dma_blocks_w8(kq: int, n: int, nbuf: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "out_dtype", "bm", "bn", "bk", "has_bias", "interpret"))
-def _gemm_dma_call(x, codes, scales_u8, gs, gw, bias, *, out_dtype,
-                   bm, bn, bk, has_bias, interpret):
-    kq, n = codes.shape
+    "fmt", "out_dtype", "bm", "bn", "bk", "has_bias", "interpret"))
+def _gemm_dma_call(x, codes, scales_u8, gs, gw, bias, *, fmt,
+                   out_dtype, bm, bn, bk, has_bias, interpret):
+    kq = codes.shape[0] * (2 if fmt == "w4" else 1)
+    n = codes.shape[1]
     n_k = kq // bk
+    kern_fn = _gemm_w4_dma_kernel if fmt == "w4" else _gemm_w8_dma_kernel
     kernel = functools.partial(
-        _gemm_w8_dma_kernel, bk=bk, nbuf=_DMA_NBUF, n_k=n_k,
+        kern_fn, bk=bk, nbuf=_DMA_NBUF, n_k=n_k,
         out_dtype=out_dtype, has_bias=has_bias)
     bias2 = (bias.reshape(1, n).astype(jnp.float32) if has_bias
              else jnp.zeros((1, 1), jnp.float32))
+    slot_k = bk // 2 if fmt == "w4" else bk
     return pl.pallas_call(
         kernel,
         grid=(n // bn,),
@@ -323,7 +388,8 @@ def _gemm_dma_call(x, codes, scales_u8, gs, gw, bias, *, out_dtype,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bm, n), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((_DMA_NBUF, bk, bn), jnp.int8),
+            # slot dtype matches the codes (w8 int8, w4 uint8 nibbles)
+            pltpu.VMEM((_DMA_NBUF, slot_k, bn), codes.dtype),
             pltpu.SemaphoreType.DMA((_DMA_NBUF,)),
             pltpu.VMEM((bm, bn), jnp.float32),
         ],
@@ -339,12 +405,20 @@ def _gemm_dma_call(x, codes, scales_u8, gs, gw, bias, *, out_dtype,
 
 
 def _gemm_dma(xa, pw, scales_u8, gx, out_dtype):
-    """Decode-shape w8 GEMM through the manual-DMA kernel (same
-    contract as gemm_dequant's fused path)."""
+    """Decode-shape GEMM through the manual-DMA kernel (same contract
+    as gemm_dequant's fused path). w4 activations must arrive in
+    NATURAL k order (split_even_odd happens here, mirroring
+    gemm_dequant's fused w4 branch)."""
+    fmt = "w8" if isinstance(pw, PackedWeightI8) else "w4"
     m = xa.shape[0]
     kq, n = pw.kq, pw.n
+    if fmt == "w4":
+        xa = split_even_odd(xa)
     bm = max(16, _round_up(m, 16))
     bk, bn = _dma_blocks_w8(kq, n, _DMA_NBUF)
+    if fmt == "w4" and bk % 256:
+        from ..quant.packing import best_k_block
+        bk = best_k_block(kq, align=256) or kq
     x = xa.astype(jnp.bfloat16)
     if bm != m:
         x = jnp.pad(x, ((0, bm - m), (0, 0)))
@@ -356,7 +430,7 @@ def _gemm_dma(xa, pw, scales_u8, gx, out_dtype):
         pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
     y = _gemm_dma_call(x, pw.codes, scales_u8, gs, gw,
                        pw.bias if pw.bias is not None else None,
-                       out_dtype=jnp.dtype(out_dtype).name,
+                       fmt=fmt, out_dtype=jnp.dtype(out_dtype).name,
                        bm=bm, bn=bn, bk=bk,
                        has_bias=pw.bias is not None,
                        interpret=_use_interpret())
@@ -438,15 +512,18 @@ def _decode_blocks_w8(m: int, kq: int, n: int):
     return bk, bn
 
 
-def _fused_vmem_est(bm: int, bk: int, bn: int) -> int:
-    """Scoped-VMEM estimate for one fused w8 block set (see the
-    budget comment in _decode_blocks_w8)."""
-    return (2 * bk * bn + 2 * (bk // 16) * bn + 2 * bm * bk * 2
+def _fused_vmem_est(bm: int, bk: int, bn: int, fmt: str = "w8") -> int:
+    """Scoped-VMEM estimate for one fused block set (see the budget
+    comment in _decode_blocks_w8). w4 halves the code bytes but reads
+    x as two (bm, bk//2) views (same x bytes)."""
+    codes = (bk // 2 if fmt == "w4" else bk) * bn
+    return (2 * codes + 2 * (bk // 16) * bn + 2 * bm * bk * 2
             + bm * bn * 4 + 2 * bm * bn * 2)
 
 
-def fused_block_candidates(m: int, kq: int, n: int) -> list:
-    """Candidate (bk, bn) block shapes for the fused w8 decode GEMM,
+def fused_block_candidates(m: int, kq: int, n: int,
+                           fmt: str = "w8") -> list:
+    """Candidate (bk, bn) block shapes for the fused decode GEMM,
     heuristic pick first — the autotuner (kernels/autotune.py) times
     each on-chip and persists the winner. Reference analog: the
     CUTLASS tile-config candidate list in nvfp4.cu, selected at
@@ -454,13 +531,21 @@ def fused_block_candidates(m: int, kq: int, n: int) -> list:
     because the per-grid-step fixed cost (~0.4 us on v5e) is runtime
     behaviour Mosaic does not model."""
     bm = min(_round_up(max(m, 1), 16), 512)
-    cands = [_decode_blocks_w8(m, kq, n)]
+    if fmt == "w4":
+        # w4 x blocks are (bm, bk//2): bk must be 256-aligned for the
+        # Mosaic last-dim constraint (see gemm_dequant's w4 branch)
+        from ..quant.packing import best_k_block
+        bk0 = best_k_block(kq, align=256) or kq
+        cands = [(bk0, _best_n_block(n, bk0 // 2, _BLOCK_CAP)
+                  or _pick_block(n, (512, 256, 128)))]
+    else:
+        cands = [_decode_blocks_w8(m, kq, n)]
     for bk in (512, 1024, 2048):
-        if kq % bk:
+        if kq % bk or (fmt == "w4" and bk % 256):
             continue
         for cap in (_BLOCK_CAP, 2 * _BLOCK_CAP, _BLOCK_CAP // 2):
-            bn = _best_n_block(n, bk, cap)
-            while bn and _fused_vmem_est(bm, bk, bn) > 14 * 2 ** 20:
+            bn = _best_n_block(n, bk // 2 if fmt == "w4" else bk, cap)
+            while bn and _fused_vmem_est(bm, bk, bn, fmt) > 14 * 2 ** 20:
                 nb = _best_n_block(n, bk, max(bk * bn // 2, bk * 128))
                 if nb == bn:
                     bn = 0
@@ -733,10 +818,14 @@ def gemm_dequant(xa: jax.Array,
     # only as the fallback for unmeasured shapes, where on-chip data
     # showed square weights favoring the DMA stream: o-proj 3584²
     # 15.3 vs 21.8 us but qkv 66% / gateup 71% / down 83% of floor).
-    if fmt == "w8" and dm and m <= dm and bm == 0 and bn == 0 and bk == 0:
+    if dm and m <= dm and bm == 0 and bn == 0 and bk == 0:
         from .autotune import lookup
         choice = lookup(fmt, m, kq, n)
-        use_dma = (choice == "dma") if choice is not None else (kq == n)
+        # w4 has no measured-win heuristic yet: DMA only when the
+        # table says so (the w8 square-weight fallback is r3 on-chip
+        # data and does not transfer to the nibble-decode ALU mix)
+        fallback = (kq == n) if fmt == "w8" else False
+        use_dma = (choice == "dma") if choice is not None else fallback
     else:
         use_dma = False
     if use_dma:
@@ -746,10 +835,13 @@ def gemm_dequant(xa: jax.Array,
     if fmt == "w4":
         xa = split_even_odd(xa)
     x = xa.astype(jnp.bfloat16)
-    if fmt == "w8" and m <= 64 and bk == 0 and bn == 0:
+    if m <= 64 and bk == 0 and bn == 0:
         from .autotune import lookup_blocks
         blk = lookup_blocks(fmt, m, kq, n)
-        bk, bn = blk if blk is not None else _decode_blocks_w8(m, kq, n)
+        if blk is not None:
+            bk, bn = blk
+        elif fmt == "w8":
+            bk, bn = _decode_blocks_w8(m, kq, n)
     if bk == 0:
         from ..quant.packing import best_k_block
         if fmt == "w4":

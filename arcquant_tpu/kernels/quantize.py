@@ -369,9 +369,11 @@ def _silu_gu_defuse_m() -> int:
     the plain kernel at K=3584 — results/r4/decode_profile2.log).
     Numerics are identical either way: the kernel materializes the
     product in the activation dtype exactly like the XLA producer
-    (parity pinned in tests/test_actq.py). Default off until the
-    on-chip A/B (benchmarks/silu_m4_lab.py) picks the winner."""
-    return int(os.environ.get(_SILU_GU_DEFUSE_M_ENV, "0"))
+    (parity pinned in tests/test_actq.py). Default = 16: the round-4
+    on-chip A/B picked the defused path at decode shapes (M=4 site
+    4.44 us defused vs 5.35 fused, results/r4/silu_m4_lab.log; e2e
+    28L 12.28 vs 12.41 ms/step, results/r4/e2e_28L_defuse.log)."""
+    return int(os.environ.get(_SILU_GU_DEFUSE_M_ENV, "16"))
 
 
 def silu_mul_quantize_gu(gu: jax.Array, reorder_index: jax.Array,

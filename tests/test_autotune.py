@@ -54,6 +54,42 @@ class TestLookup:
         autotune.invalidate_cache()
         assert autotune.lookup("w8", 32, 4096, 4096) is None
 
+    def test_noise_gate_defers_to_heuristic(self, tmp_path,
+                                            monkeypatch):
+        """Margins inside the ±8% session noise must NOT override the
+        heuristic (VERDICT r4 weak #3: the table said DMA wins 4096²
+        while the same round's bench measured it losing — the 4% gap
+        was noise-fit)."""
+        _table(tmp_path, monkeypatch, {
+            # 4% apart: inside the default 8% gate -> None
+            "w8|32|4096|4096": {"fused": 28.8e-6, "dma": 27.7e-6},
+            # 30% apart: trusted
+            "w8|32|3584|3584": {"fused": 21e-6, "dma": 15e-6},
+            # 10% apart but the entry's own measured spread is 25%
+            "w8|32|2048|2048": {"fused": 20e-6, "dma": 18e-6,
+                                "noise": 0.25},
+        })
+        assert autotune.lookup("w8", 32, 4096, 4096) is None
+        assert autotune.lookup("w8", 32, 3584, 3584) == "dma"
+        assert autotune.lookup("w8", 32, 2048, 2048) is None
+        # margin override via env
+        monkeypatch.setenv("ARC_AUTOTUNE_MARGIN", "0.01")
+        assert autotune.lookup("w8", 32, 4096, 4096) == "dma"
+
+    def test_sub16_bucket_priority_and_fallback(self, tmp_path,
+                                                monkeypatch):
+        """m=4 lookups prefer a measured m=4 entry; tables that only
+        carry the legacy 16 bucket still serve small m."""
+        _table(tmp_path, monkeypatch, {
+            "w8|4|1024|1024": {"fused": 1e-6, "dma": 2e-6},
+            "w8|16|1024|1024": {"fused": 2e-6, "dma": 1e-6},
+            "w8|16|2048|2048": {"fused": 2e-6, "dma": 1e-6},
+        })
+        assert autotune.lookup("w8", 4, 1024, 1024) == "fused"
+        assert autotune.lookup("w8", 16, 1024, 1024) == "dma"
+        assert autotune.lookup("w8", 4, 2048, 2048) == "dma"  # fallback
+        assert autotune.lookup_blocks("w8", 4, 2048, 2048) is None
+
 
 class TestDispatchIntegration:
     def _pack(self, n, k, ke):
@@ -120,7 +156,7 @@ class TestPersistence:
         pw = packing.pack_weight_arc(w, ridx, 32, fmt="w8")
         autotune.measure_packed(pw, 4, n1=1, n2=2)
         saved = json.loads(path.read_text())
-        key = f"w8|16|{pw.kq}|{pw.n}"
+        key = f"w8|4|{pw.kq}|{pw.n}"   # m=4 has its own bucket (r5)
         assert key in saved
         assert {"fused", "dma"} <= set(saved[key])
         autotune.invalidate_cache()
@@ -156,6 +192,41 @@ class TestBlockTable:
                 assert kq % bk == 0 and n % bn == 0
                 assert bk % 128 == 0 and bn % 128 == 0
                 assert gemm._fused_vmem_est(bm, bk, bn) <= 14 * 2 ** 20
+
+    def test_w4_candidates_256_aligned(self):
+        # qwen1.5-moe w4 shapes: gateup fused-expert, down, qkv
+        for m, kq, n in ((4, 2048, 168960), (4, 5632, 2048),
+                         (4, 2048, 6144)):
+            cands = gemm.fused_block_candidates(m, kq, n, fmt="w4")
+            assert cands, (m, kq, n)
+            for bk, bn in cands:
+                assert kq % bk == 0 and n % bn == 0
+                assert bk % 256 == 0 and bn % 128 == 0
+                assert gemm._fused_vmem_est(16, bk, bn,
+                                            "w4") <= 14 * 2 ** 20
+
+    def test_w4_table_blocks_bit_exact(self, tmp_path, monkeypatch):
+        """A w4 table block entry must be honored AND keep numerics;
+        a 128-only-aligned bk (illegal for w4 x views) is rejected."""
+        w = jax.random.normal(jax.random.PRNGKey(9), (512, 960)) * 0.05
+        ridx = jnp.arange(960, dtype=jnp.int32)
+        pw = packing.pack_weight_arc(w, ridx, 64, fmt="w4")
+        x = jax.random.normal(jax.random.PRNGKey(10), (4, 960))
+        xa, gx = qk.quantize_x_arc(x, ridx, 64, kq=pw.kq)
+        monkeypatch.setenv("ARC_AUTOTUNE_FILE",
+                           str(tmp_path / "none.json"))
+        autotune.invalidate_cache()
+        y_heur = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        _table(tmp_path, monkeypatch, {
+            f"w4|4|{pw.kq}|{pw.n}": {"fused": 1e-6, "dma": 2e-6,
+                                     "bk": 512, "bn": 256}})
+        y_blk = gemm.gemm_dequant(xa, pw, gx, out_dtype=jnp.float32)
+        assert bool(jnp.all(y_blk == y_heur))
+        assert autotune.lookup_blocks("w4", 4, pw.kq, pw.n) == (512, 256)
+        _table(tmp_path, monkeypatch, {
+            f"w4|4|{pw.kq}|{pw.n}": {"fused": 1e-6, "dma": 2e-6,
+                                     "bk": 384, "bn": 256}})
+        assert autotune.lookup_blocks("w4", 4, pw.kq, pw.n) is None
 
     def test_measured_blocks_stay_bit_exact(self, tmp_path,
                                             monkeypatch):

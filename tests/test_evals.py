@@ -210,3 +210,47 @@ class TestLocalDataMirror:
         monkeypatch.setenv("ARC_DATA_DIR", str(tmp_path))
         with pytest.raises(Exception):
             data.get_token_stream("wikitext2", "test", self._tok)
+
+    def test_c4_stream_and_calib(self, monkeypatch):
+        """c4 branch (reference utilize.py:276-303): 'text' column,
+        space joiner, train split calibration windows."""
+        monkeypatch.setenv("ARC_DATA_DIR", self.FIXTURES)
+        stream = data.get_token_stream("c4", "validation", self._tok)
+        assert stream.dtype == np.int32 and stream.shape[0] > 500
+        import json
+        with open(os.path.join(self.FIXTURES, "c4.validation.jsonl")) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        manual = " ".join(r["text"] for r in recs)   # joiner is " "
+        np.testing.assert_array_equal(
+            stream, np.asarray(self._tok(manual), np.int32))
+        s = data.get_calib_samples("c4", self._tok, nsamples=2, seqlen=32)
+        assert s.shape == (2, 32) and s.dtype == np.int32
+
+    def test_pile_stream(self, monkeypatch):
+        """pile branch (reference utilize.py:305-330): 'text' column,
+        blank-line joiner."""
+        monkeypatch.setenv("ARC_DATA_DIR", self.FIXTURES)
+        stream = data.get_token_stream("pile", "test", self._tok)
+        assert stream.shape[0] > 500
+        import json
+        with open(os.path.join(self.FIXTURES, "pile.test.jsonl")) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        manual = "\n\n".join(r["text"] for r in recs)
+        np.testing.assert_array_equal(
+            stream, np.asarray(self._tok(manual), np.int32))
+
+    def test_humaneval_split_pinned_and_prompt_column(self, monkeypatch):
+        """humaneval branch (reference utilize.py:352-384): only a
+        'test' split exists; requests for any split must read it, and
+        the text column is 'prompt'."""
+        monkeypatch.setenv("ARC_DATA_DIR", self.FIXTURES)
+        a = data.get_token_stream("humaneval", "train", self._tok)
+        b = data.get_token_stream("humaneval", "test", self._tok)
+        np.testing.assert_array_equal(a, b)   # split pinned to "test"
+        import json
+        path = os.path.join(self.FIXTURES, "humaneval.test.jsonl")
+        with open(path) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        manual = "\n\n".join(r["prompt"] for r in recs)
+        np.testing.assert_array_equal(
+            a, np.asarray(self._tok(manual), np.int32))
