@@ -77,7 +77,13 @@ def measure() -> dict:
     import jax.numpy as jnp
 
     from arcquant_tpu.quant import packing
-    from arcquant_tpu.kernels import gemm, quantize as qk
+    from arcquant_tpu.kernels import autotune, gemm, quantize as qk
+
+    # Pin dispatch to the SHIPPED autotune table: a stale /tmp user
+    # table must not make driver and builder runs take different
+    # paths (VERDICT r4 next #9 — run-to-run comparability).
+    os.environ["ARC_AUTOTUNE_FILE"] = autotune._shipped_table_path()
+    autotune.invalidate_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     # Decode-bound GEMM shape: M small, N=K=4096 (reference
@@ -96,6 +102,16 @@ def measure() -> dict:
     xa, gx = qk.quantize_x_arc(x, ridx, ke, kq=pw.kq)
     xa = xa.astype(jnp.bfloat16)
     wT = w.T.copy()
+
+    # Report the dispatch decisions the fused path will take so
+    # driver/builder numbers are attributable run-to-run.
+    blk = autotune.lookup_blocks("w8", m, pw.kq, pw.n)
+    blocks = blk if blk is not None else gemm._decode_blocks_w8(
+        m, pw.kq, pw.n)
+    print(f"dispatch: fused blocks bk={blocks[0]} bn={blocks[1]} "
+          f"({'table' if blk else 'heuristic'}), table choice at "
+          f"{m}x{pw.kq}x{pw.n} = {autotune.lookup('w8', m, pw.kq, pw.n)}",
+          file=sys.stderr)
 
     # Two production decode paths, bit-exact (tests/test_kernels.py
     # test_dma_stream_matches_fused), selected by ARC_GEMM_DMA_M: the

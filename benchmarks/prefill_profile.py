@@ -48,12 +48,34 @@ def main():
     ridx_d = jnp.arange(d, dtype=jnp.int32)
     ridx_i = jnp.arange(inter, dtype=jnp.int32)
 
-    # --- activation quantize sites ---
-    rec("quantize_x d=3584", lambda xx: qk.quantize_x_arc(
-        xx, ridx_d, 0, per_row=True)[0], x, mult=3)
+    # --- activation quantize sites (the ENGINE's actual four) ---
+    wnorm_d = jnp.ones((d,), jnp.bfloat16)
+    rec("rmsnormq d=3584 (attn/mlp_in)", lambda xx: qk.
+        rmsnorm_quantize_x(xx, wnorm_d, 1e-6, ridx_d, 0,
+                           per_row=True)[0], x, mult=2)
+    rec("quantize_x d=3584 (o_in)", lambda xx: qk.quantize_x_arc(
+        xx, ridx_d, 0, per_row=True)[0], x, mult=1)
     xi = jax.random.normal(key, (m, inter), jnp.bfloat16)
     rec("quantize_x d=18944", lambda xx: qk.quantize_x_arc(
-        xx, ridx_i, 0, per_row=True)[0], xi, mult=1)
+        xx, ridx_i, 0, per_row=True)[0], xi, mult=0)
+    # down_in: fused silu-gu kernel vs the defused XLA-product path
+    # (VERDICT r5: the r4 trace shows ~2.34 ms/layer in _actq_call at
+    # prefill M — 6x the 0.38 ms gu-read floor; attribute it)
+    gu = jax.random.normal(key, (m, 2 * inter), jnp.bfloat16)
+    os.environ["ARC_SILU_GU_DEFUSE_M"] = "0"
+    qk._silu_gu_defuse_m.cache_clear()
+    rec("silu-gu fused (down_in)", lambda g: qk.silu_mul_quantize_gu(
+        g, ridx_i, 0, per_row=True)[0], gu, mult=1)
+    os.environ["ARC_SILU_GU_DEFUSE_M"] = str(1 << 30)
+    qk._silu_gu_defuse_m.cache_clear()
+    rec("silu-gu DEFUSED (down_in)", lambda g: qk.silu_mul_quantize_gu(
+        g, ridx_i, 0, per_row=True)[0], gu, mult=0)
+    os.environ.pop("ARC_SILU_GU_DEFUSE_M")
+    qk._silu_gu_defuse_m.cache_clear()
+    rec("XLA silu*mul alone", lambda g: (
+        jax.nn.silu(g[:, :inter].astype(jnp.float32))
+        * g[:, inter:].astype(jnp.float32)).astype(g.dtype),
+        gu, mult=0)
 
     # --- the four GEMMs, three ways ---
     shapes = {"qkv": (qs + 2 * kvs, d), "o": (d, qs),
@@ -98,12 +120,12 @@ def main():
     rec("rms_norm", lambda xx: llama.rms_norm(xx, wnorm, cfg.rms_eps),
         x3, mult=2)
 
-    per_layer = (total.get("quantize_x d=3584", 0)
-                 + total.get("quantize_x d=18944", 0)
+    per_layer = (total.get("rmsnormq d=3584 (attn/mlp_in)", 0)
+                 + total.get("quantize_x d=3584 (o_in)", 0)
+                 + total.get("silu-gu fused (down_in)", 0)
                  + sum(v for k2, v in total.items()
                        if "XLA-dispatch" in k2)
-                 + total.get("flash attention", 0)
-                 + total.get("rms_norm", 0))
+                 + total.get("flash attention", 0))
     print(f"\nper-layer (quant path, XLA GEMMs): {per_layer*1e3:.2f} "
           f"ms -> x14 = {per_layer*14*1e3:.1f} ms")
     bf = (sum(v for k2, v in total.items() if "bf16 dot" in k2)
