@@ -171,6 +171,21 @@ def _mlp(cfg, p, x, layer_calib, qcfg, norm_w=None):
     else:
         xa, gx = _norm_quantize(x2, norm_w, cfg.rms_eps,
                                 layer_calib["mlp_in"], qcfg)
+    if (qcfg.quant_type == "NVFP4" and qcfg.use_kernels
+            and qcfg.act_bits == 4 and qcfg.act_scale == "row"):
+        # decode-shape MLP megakernel: gateup GEMM + silu-mul +
+        # act-quantize + down GEMM in ONE Pallas launch (weight codes
+        # manually DMA-streamed, gu/xa2 never leave VMEM) — bit-exact
+        # vs the chain below (tests/test_mlp_fused.py); gated off for
+        # ARC-augmented down_in and non-512 k splits
+        from ..kernels import mlp_fused
+        f = p["gateup"].n // 2 if hasattr(p["gateup"], "n") else 0
+        if f and mlp_fused.mlp_fused_ok(
+                p["gateup"], p["down"], b * t, f, True,
+                layer_calib["down_in"].select_num):
+            out, _, _ = mlp_fused.mlp_w8_fused(
+                xa, gx, p["gateup"], p["down"], f, out_dtype=dtype)
+            return out.reshape(b, t, d)
     # bf16 GEMM output + f32 silu·up mirrors the reference (half GEMM
     # out, float activation math, qLlamaLayer.py:422-443); an f32
     # gateup output materializes 2x the bytes of the widest activation

@@ -1,0 +1,155 @@
+"""Decode MLP megakernel (kernels/mlp_fused.py): one Pallas program
+must be BIT-exact vs the production three-op chain it replaces
+(gemm bk=512 -> XLA silu*mul -> Pallas act-quantize -> gemm bk=512),
+including the bf16 product round, the per-row global scale, the kq2
+zero pad, and biases."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arcquant_tpu.kernels import gemm, mlp_fused
+from arcquant_tpu.kernels import quantize as qk
+from arcquant_tpu.quant import packing
+
+
+def _mk(m, d, f, bias, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 6)
+    x = jax.random.normal(ks[0], (m, d)) * (
+        1.0 + 5.0 * (jax.random.uniform(ks[1], (1, d)) > 0.95))
+    w_gu = jax.random.normal(ks[2], (2 * f, d)) * 0.05
+    w_dn = jax.random.normal(ks[3], (d, f)) * 0.05
+    b_gu = jax.random.normal(ks[4], (2 * f,)) if bias else None
+    b_dn = jax.random.normal(ks[5], (d,)) if bias else None
+    ridx1 = jnp.arange(d, dtype=jnp.int32)
+    ridx2 = jnp.arange(f, dtype=jnp.int32)
+    pw_gu = packing.pack_weight_arc(w_gu, ridx1, 0, bias=b_gu,
+                                    fmt="w8", w_scale="channel")
+    pw_dn = packing.pack_weight_arc(w_dn, ridx2, 0, bias=b_dn,
+                                    fmt="w8", w_scale="channel")
+    xa1, gs1 = qk.quantize_x_arc(x, ridx1, 0, kq=pw_gu.kq,
+                                 per_row=True)
+    return xa1, gs1, pw_gu, pw_dn
+
+
+def _chain(xa1, gs1, pw_gu, pw_dn, f):
+    """The de-fused production chain at the megakernel's k split."""
+    gu = gemm_dequant_bk512(xa1, pw_gu, gs1)
+    prod = (jax.nn.silu(gu[:, :f].astype(jnp.float32))
+            * gu[:, f:].astype(jnp.float32)).astype(gu.dtype)
+    ridx = jnp.arange(f, dtype=jnp.int32)
+    xa2, gx2 = qk.quantize_x_arc(prod, ridx, 0, kq=pw_dn.kq,
+                                 per_row=True)
+    out = gemm_dequant_bk512(xa2, pw_dn, gx2)
+    return out, gu, gx2
+
+
+def gemm_dequant_bk512(xa, pw, gx):
+    bn = mlp_fused._pick_bn(pw.n, 1024)
+    return gemm.gemm_dequant(xa, pw, gx, bk=512, bn=bn)
+
+
+@pytest.mark.parametrize("bias", [False, True])
+@pytest.mark.parametrize("m", [4, 9])
+def test_megakernel_matches_chain(m, bias):
+    d, f = 256, 512          # kq1 pads 256 -> 512; kq2 = f = 512
+    xa1, gs1, pw_gu, pw_dn = _mk(m, d, f, bias)
+    assert pw_gu.kq % 512 == 0 and pw_dn.kq % 512 == 0
+    ref_out, ref_gu, ref_gx2 = _chain(xa1, gs1, pw_gu, pw_dn, f)
+    out, gu, gx2 = mlp_fused.mlp_w8_fused(xa1, gs1, pw_gu, pw_dn, f)
+    assert bool(jnp.all(gu == ref_gu))
+    assert bool(jnp.all(gx2 == ref_gx2))
+    assert bool(jnp.all(out == ref_out))
+
+
+def test_megakernel_with_padded_kq2():
+    """f with a kq2 zero pad (pad_kq appends zero groups): the pad
+    columns must contribute exact +0 in the reference's k order."""
+    # f = 512*17: like 18944 (=512*37), no 128-aligned divisor in
+    # [1024, 2048] exists, so pad_kq appends a 512 zero group -> 9216
+    m, d, f = 4, 256, 8704
+    xa1, gs1, pw_gu, pw_dn = _mk(m, d, f, bias=False, key=7)
+    assert pw_dn.kq > f
+    ref_out, ref_gu, ref_gx2 = _chain(xa1, gs1, pw_gu, pw_dn, f)
+    out, gu, gx2 = mlp_fused.mlp_w8_fused(xa1, gs1, pw_gu, pw_dn, f)
+    assert bool(jnp.all(gx2 == ref_gx2))
+    assert bool(jnp.all(out == ref_out))
+
+
+def test_dispatch_gate():
+    m, d, f = 4, 256, 512
+    xa1, gs1, pw_gu, pw_dn = _mk(m, d, f, bias=False)
+    ok = lambda mm, **kw: mlp_fused.mlp_fused_ok(    # noqa: E731
+        kw.get("gu", pw_gu), kw.get("dn", pw_dn), kw.get("m", m),
+        kw.get("f", f), kw.get("per_row", True),
+        kw.get("sel", 0))
+    import os
+    os.environ[mlp_fused._MLP_FUSED_M_ENV] = "16"
+    mlp_fused.mlp_fused_dispatch_m.cache_clear()
+    try:
+        assert ok(16)
+        assert not ok(16, m=32)          # above the M gate
+        assert not ok(16, per_row=False)  # tensor scales unsupported
+        assert not ok(16, sel=64)        # ARC down_in -> 3-op path
+        w4 = packing.pack_weight_arc(
+            jax.random.normal(jax.random.PRNGKey(9), (2 * f, d)) * 0.05,
+            jnp.arange(d, dtype=jnp.int32), 0, fmt="w4")
+        assert not ok(16, gu=w4)         # w8 only
+    finally:
+        os.environ.pop(mlp_fused._MLP_FUSED_M_ENV)
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+
+
+def test_engine_decode_flag_parity():
+    """An engine decode step with ARC_MLP_FUSED_M on vs off must be
+    LOGIT-identical (the megakernel is the same math in one launch);
+    a spy pins that the flag actually flips the path."""
+    import os
+
+    import numpy as np
+
+    from arcquant_tpu.config import QuantConfig, get_model_config
+    from arcquant_tpu.engine import EngineConfig, InferenceEngine
+    from arcquant_tpu.models import llama, quantized
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       kv_quant=False, act_scale="row",
+                       w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+
+    toks = jnp.asarray([[5, 17, 301, 42], [9, 2, 77, 30]], jnp.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+
+    def run():
+        # the dispatch flag is read at TRACE time and the engine's
+        # jitted steps are cached at module level — drop every cached
+        # trace so the flag is consulted again
+        jax.clear_caches()
+        eng = InferenceEngine(cfg, params, calib, qcfg, ecfg)
+        state = eng.new_state()
+        logits, state = eng.prefill(state, toks, lens)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, state = eng.decode_step(state, nxt,
+                                         jnp.ones((2,), bool))
+        return np.asarray(logits2)
+
+    from arcquant_tpu.kernels import mlp_fused
+    calls = []
+    real = mlp_fused.mlp_w8_fused
+    mlp_fused.mlp_w8_fused = (
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+    try:
+        base = run()
+        assert not calls
+        os.environ[mlp_fused._MLP_FUSED_M_ENV] = "16"
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+        fused = run()
+        assert calls, "flag did not engage the megakernel"
+    finally:
+        mlp_fused.mlp_w8_fused = real
+        os.environ.pop(mlp_fused._MLP_FUSED_M_ENV, None)
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+    np.testing.assert_array_equal(base, fused)
