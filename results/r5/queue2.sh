@@ -13,7 +13,7 @@
 set -u
 R=/root/repo/results/r5
 SNAP=/tmp/r5repo2
-until grep -q "queue1 COMPLETE" "$R/queue1_status.log" 2>/dev/null; do
+until grep -q "queue3 COMPLETE" "$R/queue3_status.log" 2>/dev/null; do
   sleep 60
 done
 rm -rf "$SNAP"; mkdir -p "$SNAP"
@@ -29,6 +29,10 @@ step() {
   status "DONE  $name rc=$?"
 }
 status "queue2 begins (HEAD=$(git -C /root/repo rev-parse --short HEAD))"
+
+# re-run (queue1's run died on a transient remote-compile broken pipe
+# at the head component; components are now failure-isolated)
+step verify_lab_r2 3600 python -m benchmarks.verify_lab --layers 28
 
 step prefill_profile_r5b 3600 python -m benchmarks.prefill_profile
 

@@ -6,7 +6,7 @@
 set -u
 R=/root/repo/results/r5
 SNAP=/tmp/r5repo3
-until grep -q "queue2 COMPLETE" "$R/queue2_status.log" 2>/dev/null; do
+until grep -q "queue1 COMPLETE" "$R/queue1_status.log" 2>/dev/null; do
   sleep 60
 done
 rm -rf "$SNAP"; mkdir -p "$SNAP"
