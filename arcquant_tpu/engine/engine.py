@@ -180,12 +180,30 @@ def _mlp(cfg, p, x, layer_calib, qcfg, norm_w=None):
         # ARC-augmented down_in and non-512 k splits
         from ..kernels import mlp_fused
         f = p["gateup"].n // 2 if hasattr(p["gateup"], "n") else 0
+        sel2 = layer_calib["down_in"].select_num
         if f and mlp_fused.mlp_fused_ok(
-                p["gateup"], p["down"], b * t, f, True,
-                layer_calib["down_in"].select_num):
+                p["gateup"], p["down"], b * t, f, True, sel2):
             out, _, _ = mlp_fused.mlp_w8_fused(
                 xa, gx, p["gateup"], p["down"], f, out_dtype=dtype)
             return out.reshape(b, t, d)
+        if (f and sel2 and hasattr(p["down"], "kq")
+                and mlp_fused.gu_actq_ok(p["gateup"], b * t, f,
+                                         p["down"].kq, True)):
+            # ARC-augmented down_in: partial megakernel (gateup +
+            # silu + quantize in one launch), residual injected from
+            # the returned gu — the same column-local recompute
+            # silu_mul_quantize_gu uses — then the ordinary down GEMM
+            from ..kernels import quantize as qk
+            xa2, gu, gx2 = mlp_fused.gateup_silu_quantize(
+                xa, gx, p["gateup"], f, p["down"].kq, out_dtype=dtype)
+            c2 = layer_calib["down_in"]
+            idx = c2.reorder_index[-sel2:].astype(jnp.int32)
+            g_cols = jnp.take(gu, idx, axis=1).astype(jnp.float32)
+            u_cols = jnp.take(gu, idx + f, axis=1).astype(jnp.float32)
+            prod_cols = (jax.nn.silu(g_cols) * u_cols).astype(gu.dtype)
+            xa2 = qk._arc_residual_into(prod_cols, xa2, gx2, idx, f)
+            return quantized._q_linear(p["down"], xa2, gx2, qcfg,
+                                       dtype).reshape(b, t, d)
     # bf16 GEMM output + f32 silu·up mirrors the reference (half GEMM
     # out, float activation math, qLlamaLayer.py:422-443); an f32
     # gateup output materializes 2x the bytes of the widest activation

@@ -54,88 +54,76 @@ def mlp_fused_dispatch_m() -> int:
                               str(_MLP_FUSED_M_DEFAULT)))
 
 
-def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
-                   codes1_hbm, s1_hbm, codes2_hbm, s2_hbm,
-                   out_ref, gu_ref, gx2_ref,
-                   c1_s, s1_s, c2_s, s2_s, xa2_s, sems, acc_ref, *,
-                   f: int, kq1: int, kq2: int, bn1: int, bn2: int,
-                   nbuf: int, has_b1: bool, has_b2: bool,
-                   out_dtype):
-    bm = out_ref.shape[0]
-    nk1 = kq1 // _BK
-    nj1 = gu_ref.shape[1] // bn1
-    nk2 = kq2 // _BK
-    nj2 = out_ref.shape[1] // bn2
+def _decode_w(c_slot, s_slot, bn):
+    """w8 decode of one [_BK, bn] stripe (same expressions as
+    _gemm_w8_kernel: i8 codes × ue4m3 group scale / 2)."""
+    w = c_slot.astype(jnp.float32)
+    s = _decode_ue4m3_f32(s_slot.astype(jnp.int32)) * 0.5
+    return (w.reshape(_BK // 16, 16, bn) * s[:, None, :]).reshape(
+        _BK, bn).astype(jnp.bfloat16)
 
-    def dma1(slot, t):
-        j, k = t // nk1, jax.lax.rem(t, nk1)
+
+def _stream_gemm(codes_hbm, s_hbm, c_s, s_s, sems, sem_base, acc_ref,
+                 x_block, bn, nk, nj, nbuf, epilogue):
+    """Multi-buffered streamed GEMM phase: for stripe t = j*nk + k,
+    DMA codes+scales [_BK, bn] from HBM, decode, accumulate
+    x_block(k) @ w into acc_ref[:, :bn]; at k == nk-1 call
+    epilogue(j, acc). The _gemm_w8_dma_kernel pipeline, phase-ified
+    so the full and partial MLP megakernels share it."""
+    bm = acc_ref.shape[0]
+
+    def dma(slot, t):
+        j, k = t // nk, jax.lax.rem(t, nk)
         return (pltpu.make_async_copy(
-            codes1_hbm.at[pl.ds(k * _BK, _BK), pl.ds(j * bn1, bn1)],
-            c1_s.at[slot], sems.at[0, slot]),
+            codes_hbm.at[pl.ds(k * _BK, _BK), pl.ds(j * bn, bn)],
+            c_s.at[slot], sems.at[sem_base, slot]),
             pltpu.make_async_copy(
-            s1_hbm.at[pl.ds(k * (_BK // 16), _BK // 16),
-                      pl.ds(j * bn1, bn1)],
-            s1_s.at[slot], sems.at[1, slot]))
+            s_hbm.at[pl.ds(k * (_BK // 16), _BK // 16),
+                     pl.ds(j * bn, bn)],
+            s_s.at[slot], sems.at[sem_base + 1, slot]))
 
-    def dma2(slot, t):
-        j, k = t // nk2, jax.lax.rem(t, nk2)
-        return (pltpu.make_async_copy(
-            codes2_hbm.at[pl.ds(k * _BK, _BK), pl.ds(j * bn2, bn2)],
-            c2_s.at[slot], sems.at[2, slot]),
-            pltpu.make_async_copy(
-            s2_hbm.at[pl.ds(k * (_BK // 16), _BK // 16),
-                      pl.ds(j * bn2, bn2)],
-            s2_s.at[slot], sems.at[3, slot]))
-
-    def decode_w(c_slot, s_slot, bn):
-        w = c_slot.astype(jnp.float32)               # [_BK, bn]
-        s = _decode_ue4m3_f32(s_slot.astype(jnp.int32)) * 0.5
-        return (w.reshape(_BK // 16, 16, bn) * s[:, None, :]).reshape(
-            _BK, bn).astype(jnp.bfloat16)
-
-    # ---- phase B: gateup GEMM, gu stays in VMEM --------------------
-    t1_total = nj1 * nk1
-    for i in range(min(nbuf - 1, t1_total)):
-        for c in dma1(i, i):
+    total = nj * nk
+    for i in range(min(nbuf - 1, total)):
+        for c in dma(i, i):
             c.start()
 
-    def loop1(t, _):
+    def loop(t, _):
         slot = jax.lax.rem(t, nbuf)
-        j, k = t // nk1, jax.lax.rem(t, nk1)
+        j, k = t // nk, jax.lax.rem(t, nk)
 
-        @pl.when(t + nbuf - 1 < t1_total)
+        @pl.when(t + nbuf - 1 < total)
         def _():
-            for c in dma1(jax.lax.rem(t + nbuf - 1, nbuf),
-                          t + nbuf - 1):
+            for c in dma(jax.lax.rem(t + nbuf - 1, nbuf),
+                         t + nbuf - 1):
                 c.start()
 
-        for c in dma1(slot, t):
+        for c in dma(slot, t):
             c.wait()
 
         @pl.when(k == 0)
         def _():
-            acc_ref[:, :bn1] = jnp.zeros((bm, bn1), jnp.float32)
+            acc_ref[:, :bn] = jnp.zeros((bm, bn), jnp.float32)
 
-        w = decode_w(c1_s[slot], s1_s[slot], bn1)
-        xx = xa1_ref[:, pl.ds(k * _BK, _BK)]
-        acc_ref[:, :bn1] += jnp.dot(xx, w,
-                                    preferred_element_type=jnp.float32)
+        w = _decode_w(c_s[slot], s_s[slot], bn)
+        acc_ref[:, :bn] += jnp.dot(x_block(k), w,
+                                   preferred_element_type=jnp.float32)
 
-        @pl.when(k == nk1 - 1)
+        @pl.when(k == nk - 1)
         def _():
-            y = (acc_ref[:, :bn1] * gs1_ref[:]
-                 * gw1_ref[:, pl.ds(j * bn1, bn1)])
-            if has_b1:
-                y = y + b1_ref[:, pl.ds(j * bn1, bn1)].astype(
-                    jnp.float32)
-            gu_ref[:, pl.ds(j * bn1, bn1)] = y.astype(gu_ref.dtype)
+            epilogue(j, acc_ref[:, :bn])
         return 0
 
-    jax.lax.fori_loop(0, t1_total, loop1, 0)
+    jax.lax.fori_loop(0, total, loop, 0)
 
-    # ---- phase C: silu(gate)*up -> per-row ARC quantize in VMEM ----
-    # identical chain to the de-fused engine path: f32 product, bf16
-    # materialization round, f32 quantize math (quantize_x_arc)
+
+def _silu_actq_phase(gu_ref, gx2_ref, xa2_s, f, kq2):
+    """Phase C: silu(gate)*up -> per-row ARC quantize, all in VMEM.
+    Identical chain to the de-fused engine path: f32 product, product
+    round through the engine activation dtype, f32 quantize math
+    (quantize_x_arc). xa2 lands in a REF: the down phase slices it
+    with pl.ds (Mosaic has no lowering for dynamic_slice on a VALUE),
+    and the kq2 zero pad is written once here."""
+    bm = gu_ref.shape[0]
     gate = gu_ref[:, :f].astype(jnp.float32)
     up = gu_ref[:, f:].astype(jnp.float32)
     xf = (jax.nn.silu(gate) * up).astype(gu_ref.dtype).astype(
@@ -143,53 +131,73 @@ def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
     gx2 = jnp.maximum(
         jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
         * jnp.float32(N.INV_NVFP4_GLOBAL_DIV), jnp.float32(1e-12))
-    # xa2 lands in a scratch REF: phase D slices it with pl.ds
-    # (Mosaic has no lowering for dynamic_slice on a VALUE), and the
-    # kq2 zero pad is written once here
     xa2_s[:, :f] = _group_qdq_rows(xf / gx2).astype(jnp.bfloat16)
     if kq2 > f:
         xa2_s[:, f:] = jnp.zeros((bm, kq2 - f), jnp.bfloat16)
     gx2_ref[:] = gx2
+    return gx2
 
-    # ---- phase D: down GEMM over [xa2 | zero pad] ------------------
-    t2_total = nj2 * nk2
-    for i in range(min(nbuf - 1, t2_total)):
-        for c in dma2(i, i):
-            c.start()
 
-    def loop2(t, _):
-        slot = jax.lax.rem(t, nbuf)
-        j, k = t // nk2, jax.lax.rem(t, nk2)
+def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
+                   codes1_hbm, s1_hbm, codes2_hbm, s2_hbm,
+                   out_ref, gu_ref, gx2_ref,
+                   c1_s, s1_s, c2_s, s2_s, xa2_s, sems, acc_ref, *,
+                   f: int, kq1: int, kq2: int, bn1: int, bn2: int,
+                   nbuf: int, has_b1: bool, has_b2: bool,
+                   out_dtype):
+    nk1 = kq1 // _BK
+    nj1 = gu_ref.shape[1] // bn1
+    nk2 = kq2 // _BK
+    nj2 = out_ref.shape[1] // bn2
 
-        @pl.when(t + nbuf - 1 < t2_total)
-        def _():
-            for c in dma2(jax.lax.rem(t + nbuf - 1, nbuf),
-                          t + nbuf - 1):
-                c.start()
+    def epi1(j, acc):
+        y = acc * gs1_ref[:] * gw1_ref[:, pl.ds(j * bn1, bn1)]
+        if has_b1:
+            y = y + b1_ref[:, pl.ds(j * bn1, bn1)].astype(jnp.float32)
+        gu_ref[:, pl.ds(j * bn1, bn1)] = y.astype(gu_ref.dtype)
 
-        for c in dma2(slot, t):
-            c.wait()
+    _stream_gemm(codes1_hbm, s1_hbm, c1_s, s1_s, sems, 0, acc_ref,
+                 lambda k: xa1_ref[:, pl.ds(k * _BK, _BK)],
+                 bn1, nk1, nj1, nbuf, epi1)
 
-        @pl.when(k == 0)
-        def _():
-            acc_ref[:, :bn2] = jnp.zeros((bm, bn2), jnp.float32)
+    gx2 = _silu_actq_phase(gu_ref, gx2_ref, xa2_s, f, kq2)
 
-        w = decode_w(c2_s[slot], s2_s[slot], bn2)
-        xx = xa2_s[:, pl.ds(k * _BK, _BK)]
-        acc_ref[:, :bn2] += jnp.dot(xx, w,
-                                    preferred_element_type=jnp.float32)
+    def epi2(j, acc):
+        y = acc * gx2 * gw2_ref[:, pl.ds(j * bn2, bn2)]
+        if has_b2:
+            y = y + b2_ref[:, pl.ds(j * bn2, bn2)].astype(jnp.float32)
+        out_ref[:, pl.ds(j * bn2, bn2)] = y.astype(out_dtype)
 
-        @pl.when(k == nk2 - 1)
-        def _():
-            y = (acc_ref[:, :bn2] * gx2
-                 * gw2_ref[:, pl.ds(j * bn2, bn2)])
-            if has_b2:
-                y = y + b2_ref[:, pl.ds(j * bn2, bn2)].astype(
-                    jnp.float32)
-            out_ref[:, pl.ds(j * bn2, bn2)] = y.astype(out_dtype)
-        return 0
+    _stream_gemm(codes2_hbm, s2_hbm, c2_s, s2_s, sems, 2, acc_ref,
+                 lambda k: xa2_s[:, pl.ds(k * _BK, _BK)],
+                 bn2, nk2, nj2, nbuf, epi2)
 
-    jax.lax.fori_loop(0, t2_total, loop2, 0)
+
+def _gu_actq_kernel(gs1_ref, gw1_ref, b1_ref, xa1_ref,
+                    codes1_hbm, s1_hbm,
+                    xa2_ref, gu_ref, gx2_ref,
+                    c1_s, s1_s, sems, acc_ref, *,
+                    f: int, kq1: int, kq2: int, bn1: int,
+                    nbuf: int, has_b1: bool):
+    """Partial megakernel (phases B+C only): gateup GEMM + silu-mul +
+    ARC quantize fused; the down GEMM stays a separate call. This is
+    the ARC-compatible variant — with an augmented down_in the caller
+    injects the residual into xa2 (quantize._arc_residual_into over
+    the returned gu) before the down GEMM, which the full megakernel
+    cannot express without a VPU gather."""
+    nk1 = kq1 // _BK
+    nj1 = gu_ref.shape[1] // bn1
+
+    def epi1(j, acc):
+        y = acc * gs1_ref[:] * gw1_ref[:, pl.ds(j * bn1, bn1)]
+        if has_b1:
+            y = y + b1_ref[:, pl.ds(j * bn1, bn1)].astype(jnp.float32)
+        gu_ref[:, pl.ds(j * bn1, bn1)] = y.astype(gu_ref.dtype)
+
+    _stream_gemm(codes1_hbm, s1_hbm, c1_s, s1_s, sems, 0, acc_ref,
+                 lambda k: xa1_ref[:, pl.ds(k * _BK, _BK)],
+                 bn1, nk1, nj1, nbuf, epi1)
+    _silu_actq_phase(gu_ref, gx2_ref, xa2_ref, f, kq2)
 
 
 def _pick_bn(n: int, target: int) -> int:
@@ -268,6 +276,99 @@ def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, codes1, s1, codes2, s2, *,
             transcendentals=bm * f),
         interpret=interpret,
     )(gs1, gw1, gw2, b1, b2, xa1, codes1, s1, codes2, s2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "f", "kq1", "kq2", "bn1", "has_b1", "out_dtype", "interpret"))
+def _gu_actq_call(xa1, gs1, gw1, b1, codes1, s1, *, f, kq1, kq2, bn1,
+                  has_b1, out_dtype, interpret):
+    bm = xa1.shape[0]
+    n1 = codes1.shape[1]
+    kernel = functools.partial(
+        _gu_actq_kernel, f=f, kq1=kq1, kq2=kq2, bn1=bn1, nbuf=_NBUF,
+        has_b1=has_b1)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((bm, 1), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, n1), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, n1) if has_b1 else (1, 1),
+                         lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((bm, kq1), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, kq2), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((bm, n1), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((bm, 1), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, kq2), jnp.bfloat16),
+            # gu in the engine activation dtype (see _mlp_call note)
+            jax.ShapeDtypeStruct((bm, n1), out_dtype),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, _BK, bn1), jnp.int8),
+            pltpu.VMEM((_NBUF, _BK // 16, bn1), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, _NBUF)),
+            pltpu.VMEM((bm, bn1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * n1 * kq1,
+            bytes_accessed=codes1.size + s1.size + xa1.size * 2
+            + bm * kq2 * 2,
+            transcendentals=bm * f),
+        interpret=interpret,
+    )(gs1, gw1, b1, xa1, codes1, s1)
+
+
+def gateup_silu_quantize(xa1: jax.Array, gs1: jax.Array, pw_gu,
+                         f: int, kq2: int, out_dtype=jnp.bfloat16):
+    """Partial megakernel: (xa2 [M, kq2], gu [M, 2F], gx2 [M, 1]) =
+    actq(silu-mul(gateup(xa1))) in one launch; the caller runs the
+    down GEMM (and, for ARC-augmented down_in, injects the residual
+    into xa2 from gu first — quantize._arc_residual_into)."""
+    m = xa1.shape[0]
+    kq1, n1 = pw_gu.kq, pw_gu.n
+    bm = max(8, _round_up(m, 8))
+    x = xa1.astype(jnp.bfloat16)
+    gs = jnp.broadcast_to(jnp.asarray(gs1, jnp.float32).reshape(-1, 1),
+                          (m, 1))
+    if bm != m:
+        x = jnp.pad(x, ((0, bm - m), (0, 0)))
+        gs = jnp.pad(gs, ((0, bm - m), (0, 0)))
+    gw1 = jnp.broadcast_to(
+        pw_gu.global_scale.astype(jnp.float32).reshape(1, -1), (1, n1))
+    b1 = (pw_gu.bias.reshape(1, n1).astype(jnp.float32)
+          if pw_gu.bias is not None else jnp.zeros((1, 1), jnp.float32))
+    s1 = (pw_gu.scales if pw_gu.scales.dtype == jnp.uint8 else
+          jax.lax.bitcast_convert_type(pw_gu.scales, jnp.uint8))
+    xa2, gu, gx2 = _gu_actq_call(
+        x, gs, gw1, b1, pw_gu.codes, s1, f=f, kq1=kq1, kq2=kq2,
+        bn1=_pick_bn(n1, 1024), has_b1=pw_gu.bias is not None,
+        out_dtype=jnp.dtype(out_dtype).name, interpret=_use_interpret())
+    if bm != m:
+        xa2, gu, gx2 = xa2[:m], gu[:m], gx2[:m]
+    return xa2, gu, gx2
+
+
+def gu_actq_ok(pw_gu, m: int, f: int, kq2: int, per_row: bool) -> bool:
+    """Dispatch gate for the PARTIAL megakernel: like mlp_fused_ok but
+    down-independent (ARC down_in allowed — residual injected by the
+    caller) and only the gateup k split must match."""
+    mm = mlp_fused_dispatch_m()
+    return (mm > 0 and m <= mm and per_row
+            and isinstance(pw_gu, PackedWeightI8)
+            and pw_gu.codes.ndim == 2
+            and pw_gu.n == 2 * f and pw_gu.kq % _BK == 0
+            and kq2 >= f and f % _BK == 0
+            and _engine_bk(pw_gu, m) == _BK)
 
 
 def _engine_bk(pw, m: int) -> int:

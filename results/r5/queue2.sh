@@ -13,7 +13,7 @@
 set -u
 R=/root/repo/results/r5
 SNAP=/tmp/r5repo2
-until grep -q "queue3 COMPLETE" "$R/queue3_status.log" 2>/dev/null; do
+until grep -q "queue1b COMPLETE" "$R/queue1b_status.log" 2>/dev/null; do
   sleep 60
 done
 rm -rf "$SNAP"; mkdir -p "$SNAP"
@@ -29,17 +29,6 @@ step() {
   status "DONE  $name rc=$?"
 }
 status "queue2 begins (HEAD=$(git -C /root/repo rev-parse --short HEAD))"
-
-# re-run (queue1's run died on a transient remote-compile broken pipe
-# at the head component; components are now failure-isolated)
-step verify_lab_r2 3600 python -m benchmarks.verify_lab --layers 28
-
-step prefill_profile_r5b 3600 python -m benchmarks.prefill_profile
-
-step e2e_14L_defuse_all 1500 env ARC_SILU_GU_DEFUSE_M=1073741824 \
-  python -m benchmarks.benchmark_e2e \
-  --model qwen2.5-7b --layers 14 --batch_size 4 \
-  --prefill_seq_len 1024 --decode_steps 128 --repeats 3
 
 # (c) hybrid accuracy A/B on the synthetic protocol (random weights,
 # fake-quant path; the SAME protocol every BASELINE.md accuracy row

@@ -153,3 +153,99 @@ def test_engine_decode_flag_parity():
         os.environ.pop(mlp_fused._MLP_FUSED_M_ENV, None)
         mlp_fused.mlp_fused_dispatch_m.cache_clear()
     np.testing.assert_array_equal(base, fused)
+
+
+def test_partial_megakernel_matches_chain_with_arc():
+    """gateup_silu_quantize + caller residual + down GEMM must be
+    BIT-exact vs the de-fused chain when down_in is ARC-augmented
+    (the full megakernel's unsupported case)."""
+    m, d, f, ke = 4, 256, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(21), 4)
+    x = jax.random.normal(ks[0], (m, d))
+    w_gu = jax.random.normal(ks[1], (2 * f, d)) * 0.05
+    w_dn = jax.random.normal(ks[2], (d, f)) * 0.05
+    ridx1 = jnp.arange(d, dtype=jnp.int32)
+    # non-trivial importance order for the down_in ARC columns
+    ridx2 = jnp.argsort(jnp.max(jnp.abs(w_dn), axis=0)).astype(
+        jnp.int32)
+    pw_gu = packing.pack_weight_arc(w_gu, ridx1, 0, fmt="w8",
+                                    w_scale="channel")
+    pw_dn = packing.pack_weight_arc(w_dn, ridx2, ke, fmt="w8",
+                                    w_scale="channel")
+    assert pw_dn.kq >= f + ke
+    xa1, gs1 = qk.quantize_x_arc(x, ridx1, 0, kq=pw_gu.kq,
+                                 per_row=True)
+
+    # reference chain (defused production path)
+    gu_ref = gemm_dequant_bk512(xa1, pw_gu, gs1)
+    prod = (jax.nn.silu(gu_ref[:, :f].astype(jnp.float32))
+            * gu_ref[:, f:].astype(jnp.float32)).astype(gu_ref.dtype)
+    xa2_ref, gx2_ref = qk.quantize_x_arc(prod, ridx2, ke, kq=pw_dn.kq,
+                                         per_row=True)
+    out_ref = gemm_dequant_bk512(xa2_ref, pw_dn, gx2_ref)
+
+    # partial megakernel + caller-side residual + down GEMM
+    xa2, gu, gx2 = mlp_fused.gateup_silu_quantize(
+        xa1, gs1, pw_gu, f, pw_dn.kq)
+    assert bool(jnp.all(gu == gu_ref))
+    assert bool(jnp.all(gx2 == gx2_ref))
+    idx = ridx2[-ke:].astype(jnp.int32)
+    g_cols = jnp.take(gu, idx, axis=1).astype(jnp.float32)
+    u_cols = jnp.take(gu, idx + f, axis=1).astype(jnp.float32)
+    prod_cols = (jax.nn.silu(g_cols) * u_cols).astype(gu.dtype)
+    xa2 = qk._arc_residual_into(prod_cols, xa2, gx2, idx, f)
+    assert bool(jnp.all(xa2 == xa2_ref))
+    out = gemm_dequant_bk512(xa2, pw_dn, gx2)
+    assert bool(jnp.all(out == out_ref))
+
+
+def test_engine_decode_flag_parity_with_arc():
+    """Engine decode with ARC-augmented down_in (select_frac > 0):
+    the flag must route through the PARTIAL megakernel and stay
+    logit-identical."""
+    import os
+
+    import numpy as np
+
+    from arcquant_tpu.config import QuantConfig, get_model_config
+    from arcquant_tpu.engine import EngineConfig, InferenceEngine
+    from arcquant_tpu.models import llama, quantized
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       kv_quant=False, act_scale="row",
+                       w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.125)
+    assert calib[0]["down_in"].select_num > 0
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    toks = jnp.asarray([[5, 17, 301, 42], [9, 2, 77, 30]], jnp.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+
+    def run():
+        jax.clear_caches()
+        eng = InferenceEngine(cfg, params, calib, qcfg, ecfg)
+        state = eng.new_state()
+        logits, state = eng.prefill(state, toks, lens)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, state = eng.decode_step(state, nxt,
+                                         jnp.ones((2,), bool))
+        return np.asarray(logits2)
+
+    from arcquant_tpu.kernels import mlp_fused
+    calls = []
+    real = mlp_fused.gateup_silu_quantize
+    mlp_fused.gateup_silu_quantize = (
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+    try:
+        base = run()
+        assert not calls
+        os.environ[mlp_fused._MLP_FUSED_M_ENV] = "16"
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+        fused = run()
+        assert calls, "flag did not engage the partial megakernel"
+    finally:
+        mlp_fused.gateup_silu_quantize = real
+        os.environ.pop(mlp_fused._MLP_FUSED_M_ENV, None)
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+    np.testing.assert_array_equal(base, fused)
