@@ -41,7 +41,10 @@ from .gemm import _decode_ue4m3_f32, _round_up, _use_interpret
 from .quantize import _group_qdq_rows
 
 _MLP_FUSED_M_ENV = "ARC_MLP_FUSED_M"
-_MLP_FUSED_M_DEFAULT = 0      # off until the on-chip A/B picks it
+# Promoted after the round-5 on-chip A/B (results/r5/mlp_lab.log:
+# bit-exact at M=4/16, 305 vs 376 us = 1.23x standalone; e2e 28L
+# decode 12.26 -> 11.99 ms/step, 14L 6.51 -> 6.36 — e2e_*_mega.log).
+_MLP_FUSED_M_DEFAULT = 16
 _NBUF = 3
 _BK = 512                     # matches the tabled decode bk; the
                               # parity contract depends on this split

@@ -142,6 +142,8 @@ def test_engine_decode_flag_parity():
     mlp_fused.mlp_w8_fused = (
         lambda *a, **k: calls.append(1) or real(*a, **k))
     try:
+        os.environ[mlp_fused._MLP_FUSED_M_ENV] = "0"
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
         base = run()
         assert not calls
         os.environ[mlp_fused._MLP_FUSED_M_ENV] = "16"
@@ -238,6 +240,8 @@ def test_engine_decode_flag_parity_with_arc():
     mlp_fused.gateup_silu_quantize = (
         lambda *a, **k: calls.append(1) or real(*a, **k))
     try:
+        os.environ[mlp_fused._MLP_FUSED_M_ENV] = "0"
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
         base = run()
         assert not calls
         os.environ[mlp_fused._MLP_FUSED_M_ENV] = "16"
