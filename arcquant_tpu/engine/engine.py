@@ -165,6 +165,27 @@ def _mlp(cfg, p, x, layer_calib, qcfg, norm_w=None):
     b, t, d = x.shape
     dtype = x.dtype
     x2 = x.reshape(b * t, d)
+    if (norm_w is not None and qcfg.quant_type == "NVFP4"
+            and qcfg.use_kernels and qcfg.act_bits == 4
+            and qcfg.act_scale == "row"
+            and layer_calib["mlp_in"].select_num == 0):
+        # norm-mode megakernel: rmsnorm + quantize fold INTO the MLP
+        # megakernel (phase A) — one launch for the whole MLP. Gated
+        # on the external path being the fused Pallas rmsnorm
+        # quantize (identical expressions/block shape) so the fold
+        # changes nothing numerically.
+        from ..kernels import mlp_fused
+        from ..kernels.quantize import _actq_pallas_ok
+        f = p["gateup"].n // 2 if hasattr(p["gateup"], "n") else 0
+        kq1 = p["gateup"].kq if hasattr(p["gateup"], "kq") else 0
+        if (f and _actq_pallas_ok(b * t, d, kq1, True)
+                and mlp_fused.mlp_fused_ok(
+                    p["gateup"], p["down"], b * t, f, True,
+                    layer_calib["down_in"].select_num)):
+            out, _, _ = mlp_fused.mlp_w8_fused(
+                x2, None, p["gateup"], p["down"], f, out_dtype=dtype,
+                norm_w=norm_w, norm_eps=cfg.rms_eps)
+            return out.reshape(b, t, d)
     if norm_w is None:
         xa, gx = quantized._act_quantize(x2, layer_calib["mlp_in"],
                                          qcfg)

@@ -141,27 +141,57 @@ def _silu_actq_phase(gu_ref, gx2_ref, xa2_s, f, kq2):
     return gx2
 
 
+def _norm_actq_phase(x2_ref, normw_ref, xa1_s, eps, d, kq1):
+    """Phase A: rmsnorm + per-row ARC quantize of the residual stream
+    into VMEM (same expressions, block shape, and rounding chain as
+    quantize._actq_kernel's rmsnorm mode, which the engine's external
+    rmsnorm_quantize_x call lowers to). Returns gx1 [bm, 1] f32."""
+    bm = x2_ref.shape[0]
+    xf = x2_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    nm = (xf * jax.lax.rsqrt(var + eps)).astype(x2_ref.dtype)
+    xf = (nm * normw_ref[:]).astype(jnp.float32)
+    gx1 = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        * jnp.float32(N.INV_NVFP4_GLOBAL_DIV), jnp.float32(1e-12))
+    xa1_s[:, :d] = _group_qdq_rows(xf / gx1).astype(jnp.bfloat16)
+    if kq1 > d:
+        xa1_s[:, d:] = jnp.zeros((bm, kq1 - d), jnp.bfloat16)
+    return gx1
+
+
 def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
+                   normw_ref,
                    codes1_hbm, s1_hbm, codes2_hbm, s2_hbm,
                    out_ref, gu_ref, gx2_ref,
-                   c1_s, s1_s, c2_s, s2_s, xa2_s, sems, acc_ref, *,
-                   f: int, kq1: int, kq2: int, bn1: int, bn2: int,
-                   nbuf: int, has_b1: bool, has_b2: bool,
-                   out_dtype):
+                   c1_s, s1_s, c2_s, s2_s, xa1_s, xa2_s, sems,
+                   acc_ref, *,
+                   f: int, d: int, kq1: int, kq2: int, bn1: int,
+                   bn2: int, nbuf: int, has_b1: bool, has_b2: bool,
+                   norm_eps, out_dtype):
     nk1 = kq1 // _BK
     nj1 = gu_ref.shape[1] // bn1
     nk2 = kq2 // _BK
     nj2 = out_ref.shape[1] // bn2
 
+    if norm_eps is not None:
+        # phase A inside: xa1_ref carries the RAW residual stream x2
+        # [bm, d]; gs1_ref is a dummy
+        gs1 = _norm_actq_phase(xa1_ref, normw_ref, xa1_s, norm_eps,
+                               d, kq1)
+        x1 = lambda k: xa1_s[:, pl.ds(k * _BK, _BK)]    # noqa: E731
+    else:
+        gs1 = gs1_ref[:]
+        x1 = lambda k: xa1_ref[:, pl.ds(k * _BK, _BK)]  # noqa: E731
+
     def epi1(j, acc):
-        y = acc * gs1_ref[:] * gw1_ref[:, pl.ds(j * bn1, bn1)]
+        y = acc * gs1 * gw1_ref[:, pl.ds(j * bn1, bn1)]
         if has_b1:
             y = y + b1_ref[:, pl.ds(j * bn1, bn1)].astype(jnp.float32)
         gu_ref[:, pl.ds(j * bn1, bn1)] = y.astype(gu_ref.dtype)
 
     _stream_gemm(codes1_hbm, s1_hbm, c1_s, s1_s, sems, 0, acc_ref,
-                 lambda k: xa1_ref[:, pl.ds(k * _BK, _BK)],
-                 bn1, nk1, nj1, nbuf, epi1)
+                 x1, bn1, nk1, nj1, nbuf, epi1)
 
     gx2 = _silu_actq_phase(gu_ref, gx2_ref, xa2_s, f, kq2)
 
@@ -218,17 +248,19 @@ def _pick_bn(n: int, target: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "f", "kq1", "kq2", "bn1", "bn2", "has_b1", "has_b2", "out_dtype",
-    "interpret"))
-def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, codes1, s1, codes2, s2, *,
-              f, kq1, kq2, bn1, bn2, has_b1, has_b2, out_dtype,
-              interpret):
+    "f", "d", "kq1", "kq2", "bn1", "bn2", "has_b1", "has_b2",
+    "norm_eps", "out_dtype", "interpret"))
+def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, normw, codes1, s1, codes2,
+              s2, *, f, d, kq1, kq2, bn1, bn2, has_b1, has_b2,
+              norm_eps, out_dtype, interpret):
     bm = xa1.shape[0]
     n1, n2 = codes1.shape[1], codes2.shape[1]
     kernel = functools.partial(
-        _mlp_w8_kernel, f=f, kq1=kq1, kq2=kq2, bn1=bn1, bn2=bn2,
-        nbuf=_NBUF, has_b1=has_b1, has_b2=has_b2, out_dtype=out_dtype)
+        _mlp_w8_kernel, f=f, d=d, kq1=kq1, kq2=kq2, bn1=bn1, bn2=bn2,
+        nbuf=_NBUF, has_b1=has_b1, has_b2=has_b2, norm_eps=norm_eps,
+        out_dtype=out_dtype)
     vm = pltpu.VMEM
+    xa1_w = xa1.shape[1]     # d (norm mode) or kq1
     return pl.pallas_call(
         kernel,
         grid=(1,),
@@ -240,7 +272,10 @@ def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, codes1, s1, codes2, s2, *,
                          lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((1, n2) if has_b2 else (1, 1),
                          lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((bm, kq1), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((bm, xa1_w), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, normw.shape[1]), lambda i: (0, 0),
+                         memory_space=vm),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -266,6 +301,7 @@ def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, codes1, s1, codes2, s2, *,
             pltpu.VMEM((_NBUF, _BK // 16, bn1), jnp.uint8),
             pltpu.VMEM((_NBUF, _BK, bn2), jnp.int8),
             pltpu.VMEM((_NBUF, _BK // 16, bn2), jnp.uint8),
+            pltpu.VMEM((bm, kq1), jnp.bfloat16),
             pltpu.VMEM((bm, kq2), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((4, _NBUF)),
             pltpu.VMEM((bm, max(bn1, bn2)), jnp.float32),
@@ -278,7 +314,7 @@ def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, codes1, s1, codes2, s2, *,
             + s2.size + xa1.size * 2 + bm * n2 * 2,
             transcendentals=bm * f),
         interpret=interpret,
-    )(gs1, gw1, gw2, b1, b2, xa1, codes1, s1, codes2, s2)
+    )(gs1, gw1, gw2, b1, b2, xa1, normw, codes1, s1, codes2, s2)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -400,22 +436,37 @@ def mlp_fused_ok(pw_gu, pw_dn, m: int, f: int, per_row: bool,
             and _engine_bk(pw_dn, m) == _BK)
 
 
-def mlp_w8_fused(xa1: jax.Array, gs1: jax.Array, pw_gu, pw_dn,
-                 f: int, out_dtype=jnp.bfloat16):
+def mlp_w8_fused(xa1: jax.Array, gs1, pw_gu, pw_dn,
+                 f: int, out_dtype=jnp.bfloat16,
+                 norm_w: jax.Array | None = None,
+                 norm_eps: float | None = None):
     """out[M, D] = down( actq( silu-mul( gateup(xa1) ) ) ) in one
     kernel launch. Returns (out, gu, gx2) — gu/gx2 feed tests and any
     residual-style consumers.
 
-    xa1: [M, kq1] quantized activations (bf16), gs1: [M, 1] f32
-    per-row scales; pw_gu/pw_dn: PackedWeightI8 (kq1 x 2F, kq2 x D).
+    Two input modes:
+      - quantized: xa1 [M, kq1] bf16 qdq activations + gs1 [M, 1] f32
+        per-row scales (gs1 required, norm_w None);
+      - norm (phase A inside): xa1 is the RAW residual stream
+        [M, D] and norm_w/norm_eps are the pre-MLP rmsnorm params —
+        the kernel runs rmsnorm + per-row ARC quantize in VMEM
+        first (gs1 ignored). Requires a select-free mlp_in.
+    pw_gu/pw_dn: PackedWeightI8 (kq1 x 2F, kq2 x D).
     """
     m = xa1.shape[0]
     kq1, n1 = pw_gu.kq, pw_gu.n
     kq2, n2 = pw_dn.kq, pw_dn.n
+    norm_mode = norm_w is not None
+    d = xa1.shape[1]
     bm = max(8, _round_up(m, 8))
-    x = xa1.astype(jnp.bfloat16)
-    gs = jnp.broadcast_to(jnp.asarray(gs1, jnp.float32).reshape(-1, 1),
-                          (m, 1))
+    x = xa1 if norm_mode else xa1.astype(jnp.bfloat16)
+    if norm_mode:
+        gs = jnp.zeros((m, 1), jnp.float32)
+        normw2 = norm_w.reshape(1, -1)
+    else:
+        gs = jnp.broadcast_to(
+            jnp.asarray(gs1, jnp.float32).reshape(-1, 1), (m, 1))
+        normw2 = jnp.zeros((1, 1), x.dtype)
     if bm != m:
         x = jnp.pad(x, ((0, bm - m), (0, 0)))
         gs = jnp.pad(gs, ((0, bm - m), (0, 0)))
@@ -434,9 +485,11 @@ def mlp_w8_fused(xa1: jax.Array, gs1: jax.Array, pw_gu, pw_dn,
     bn1 = _pick_bn(n1, 1024)
     bn2 = _pick_bn(n2, 1024)
     out, gu, gx2 = _mlp_call(
-        x, gs, gw1, gw2, b1, b2, pw_gu.codes, s1, pw_dn.codes, s2,
-        f=f, kq1=kq1, kq2=kq2, bn1=bn1, bn2=bn2,
+        x, gs, gw1, gw2, b1, b2, normw2, pw_gu.codes, s1,
+        pw_dn.codes, s2,
+        f=f, d=d, kq1=kq1, kq2=kq2, bn1=bn1, bn2=bn2,
         has_b1=pw_gu.bias is not None, has_b2=pw_dn.bias is not None,
+        norm_eps=float(norm_eps) if norm_mode else None,
         out_dtype=jnp.dtype(out_dtype).name, interpret=_use_interpret())
     if bm != m:
         out, gu, gx2 = out[:m], gu[:m], gx2[:m]

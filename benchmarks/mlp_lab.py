@@ -66,15 +66,46 @@ def main():
         a = jax.jit(chain)(xa1)
         b = jax.jit(mega)(xa1)
         exact = bool(jnp.all(a == b))
-        import numpy as np
         diff = float(jnp.max(jnp.abs(
             a.astype(jnp.float32) - b.astype(jnp.float32))))
         print(f"M={m}: ON-CHIP bit-exact={exact} (max|d|={diff:.3e})",
               flush=True)
+
+        # norm-mode (phase A inside): vs external rmsnorm quantize +
+        # quantized-mode megakernel — the 1-ulp variance-reduce
+        # question is ON-CHIP only (CPU parity already pinned)
+        norm_w = (1.0 + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(5), (d,))).astype(jnp.bfloat16)
+        x2 = jax.random.normal(jax.random.PRNGKey(6), (m, d),
+                               jnp.bfloat16)
+
+        def ext_then_mega(xx):
+            a1, g1 = qk.rmsnorm_quantize_x(xx, norm_w, 1e-6, ridx1, 0,
+                                           kq=pw_gu.kq, per_row=True)
+            return mlp_fused.mlp_w8_fused(a1, g1, pw_gu, pw_dn, f)[0]
+
+        def norm_mega(xx):
+            return mlp_fused.mlp_w8_fused(
+                xx, None, pw_gu, pw_dn, f, norm_w=norm_w,
+                norm_eps=1e-6)[0]
+
+        na = jax.jit(ext_then_mega)(x2)
+        nb = jax.jit(norm_mega)(x2)
+        nexact = bool(jnp.all(na == nb))
+        ndiff = float(jnp.max(jnp.abs(
+            na.astype(jnp.float32) - nb.astype(jnp.float32))))
+        print(f"M={m}: NORM-mode bit-exact={nexact} "
+              f"(max|d|={ndiff:.3e})", flush=True)
+
         t_chain = bench_op(chain, xa1, n1=32, n2=160)
         t_mega = bench_op(mega, xa1, n1=32, n2=160)
+        t_ext = bench_op(ext_then_mega, x2, n1=32, n2=160)
+        t_norm = bench_op(norm_mega, x2, n1=32, n2=160)
         print(f"M={m}: chain {t_chain*1e6:8.2f} us | megakernel "
               f"{t_mega*1e6:8.2f} us | {t_chain/t_mega:.3f}x",
+              flush=True)
+        print(f"M={m}: ext-norm+mega {t_ext*1e6:8.2f} us | norm-mode "
+              f"{t_norm*1e6:8.2f} us | {t_ext/t_norm:.3f}x",
               flush=True)
 
 

@@ -253,3 +253,78 @@ def test_engine_decode_flag_parity_with_arc():
         os.environ.pop(mlp_fused._MLP_FUSED_M_ENV, None)
         mlp_fused.mlp_fused_dispatch_m.cache_clear()
     np.testing.assert_array_equal(base, fused)
+
+
+def test_norm_mode_matches_external_norm_quantize():
+    """Phase-A (rmsnorm+quantize inside the megakernel) must be
+    BIT-exact vs the external fused rmsnorm quantize feeding the
+    quantized-input megakernel."""
+    m, d, f = 4, 256, 512
+    ks = jax.random.split(jax.random.PRNGKey(31), 3)
+    x2 = (jax.random.normal(ks[0], (m, d)) * 2.0).astype(jnp.bfloat16)
+    w_gu = jax.random.normal(ks[1], (2 * f, d)) * 0.05
+    w_dn = jax.random.normal(ks[2], (d, f)) * 0.05
+    ridx1 = jnp.arange(d, dtype=jnp.int32)
+    ridx2 = jnp.arange(f, dtype=jnp.int32)
+    pw_gu = packing.pack_weight_arc(w_gu, ridx1, 0, fmt="w8",
+                                    w_scale="channel")
+    pw_dn = packing.pack_weight_arc(w_dn, ridx2, 0, fmt="w8",
+                                    w_scale="channel")
+    norm_w = (1.0 + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), (d,))).astype(jnp.bfloat16)
+    eps = 1e-6
+
+    xa1, gs1 = qk.rmsnorm_quantize_x(x2, norm_w, eps, ridx1, 0,
+                                     kq=pw_gu.kq, per_row=True)
+    ref = mlp_fused.mlp_w8_fused(xa1, gs1, pw_gu, pw_dn, f)
+    got = mlp_fused.mlp_w8_fused(x2, None, pw_gu, pw_dn, f,
+                                 norm_w=norm_w, norm_eps=eps)
+    for a, b in zip(got, ref):
+        assert bool(jnp.all(a == b))
+
+
+def test_engine_decode_norm_mode_parity():
+    """Engine decode (select-free calib): flag on routes the WHOLE
+    norm+MLP through one launch and stays logit-identical."""
+    import os
+
+    import numpy as np
+
+    from arcquant_tpu.config import QuantConfig, get_model_config
+    from arcquant_tpu.engine import EngineConfig, InferenceEngine
+    from arcquant_tpu.models import llama, quantized
+
+    cfg = get_model_config("test-tiny")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                               jnp.bfloat16)
+    qcfg = QuantConfig(quant_type="NVFP4", use_kernels=True,
+                       kv_quant=False, act_scale="row",
+                       w_scale="channel")
+    calib = quantized.identity_calib(cfg, select_frac=0.0)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    toks = jnp.asarray([[5, 17, 301, 42], [9, 2, 77, 30]], jnp.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+
+    def run():
+        jax.clear_caches()
+        eng = InferenceEngine(cfg, params, calib, qcfg, ecfg)
+        state = eng.new_state()
+        logits, state = eng.prefill(state, toks, lens)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, state = eng.decode_step(state, nxt,
+                                         jnp.ones((2,), bool))
+        return np.asarray(logits2)
+
+    from arcquant_tpu.kernels import mlp_fused
+    import os as _os
+    try:
+        _os.environ[mlp_fused._MLP_FUSED_M_ENV] = "0"
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+        base = run()
+        _os.environ[mlp_fused._MLP_FUSED_M_ENV] = "16"
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+        fused = run()
+    finally:
+        _os.environ.pop(mlp_fused._MLP_FUSED_M_ENV, None)
+        mlp_fused.mlp_fused_dispatch_m.cache_clear()
+    np.testing.assert_array_equal(base, fused)
