@@ -124,20 +124,25 @@ def main():
             return dt * 1e3 * mult
 
         tot = 0.0
+        # weights ride as bench_op ARGUMENTS — closing over them
+        # bakes them into the lowered module as constants and the
+        # remote-compile request blows the tunnel's body limit
+        # (HTTP 413 on the 545 MB head; r5 queue1 crash)
         # attn in: fused rmsnorm-quantize + qkv GEMM
-        tot += comp("normq+qkv", lambda xx: E._attn_common(
-            cfg, p0, xx, lc, qcfg, b, w, jnp.bfloat16,
-            norm_w=p0["attn_norm"])[0], x2)
+        tot += comp("normq+qkv", lambda xx, pp: E._attn_common(
+            cfg, pp, xx, lc, qcfg, b, w, jnp.bfloat16,
+            norm_w=pp["attn_norm"])[0], x2, p0)
         # o: actq + GEMM
         attn2 = jax.random.normal(key, (b, w, cfg.num_heads,
                                         cfg.head_dim), jnp.bfloat16)
-        tot += comp("o actq+gemm", lambda aa: E._o_proj(
-            cfg, p0, aa, lc, qcfg, b, w), attn2)
+        tot += comp("o actq+gemm", lambda aa, pp: E._o_proj(
+            cfg, pp, aa, lc, qcfg, b, w), attn2, p0)
         # mlp: normq + gateup GEMM + silu-gu quantize + down GEMM
         x3 = x2.reshape(b, w, d)
         tot += comp("mlp (normq+gu+siluq+down)",
-                    lambda xx: E._mlp(cfg, p0, xx, lc, qcfg,
-                                      norm_w=p0["mlp_norm"]), x3)
+                    lambda xx, pp: E._mlp(cfg, pp, xx, lc, qcfg,
+                                          norm_w=pp["mlp_norm"]),
+                    x3, p0)
         # rope + paged append + paged flash-prefill
         positions = seq_lens[:, None] + jnp.arange(w)[None, :]
         cos, sin = llama.rope_cos_sin(cfg, positions)
@@ -157,8 +162,9 @@ def main():
             return c[0][0][0, 0]
         tot += comp("append_kv", app, k0)
         # head over ALL rows (verify wants all logits)
-        tot += comp("head all_logits", lambda xx: eng._head_logits(
-            eng.qparams, xx), x2, mult=1)
+        tot += comp("head all_logits",
+                    lambda xx, qp: eng._head_logits(qp, xx),
+                    x2, eng.qparams, mult=1)
         print(f"  component total {tot:8.3f} ms vs full "
               f"{full_ms:8.3f} ms (glue {full_ms - tot:+.3f})",
               flush=True)
