@@ -12,9 +12,10 @@ re-quantized activation entirely in VMEM: two kernel launches, the
 inter-kernel XLA glue, and three HBM activation round-trips disappear.
 
 Numerics contract (pinned by tests/test_mlp_fused.py): bit-exact vs
-the engine's de-fused chain at the same k-block split —
-  gemm_dequant(bk=512, out bf16) -> silu(g_f32)*u_f32 -> .astype(bf16)
-  -> quantize_x_arc(per_row) -> gemm_dequant(bk=512)
+the engine's de-fused chain at the same per-weight k-block split
+(_engine_bk — table first, heuristic fallback) —
+  gemm_dequant(bk, out bf16) -> silu(g_f32)*u_f32 -> .astype(bf16)
+  -> quantize_x_arc(per_row) -> gemm_dequant(bk)
 (the decode-shape production path since the round-4/5 silu-gu defuse
 promotion). Same decode expressions, same f32 k-block accumulation
 order, same bf16 product round, same butterfly group-scale chain.
@@ -46,8 +47,10 @@ _MLP_FUSED_M_ENV = "ARC_MLP_FUSED_M"
 # decode 12.26 -> 11.99 ms/step, 14L 6.51 -> 6.36 — e2e_*_mega.log).
 _MLP_FUSED_M_DEFAULT = 16
 _NBUF = 3
-_BK = 512                     # matches the tabled decode bk; the
-                              # parity contract depends on this split
+# historical default k split; the kernels now FOLLOW the per-weight
+# table/heuristic choice (_engine_bk) so models whose chain splits at
+# 1024/2048 (llama-3.1-8b gateup) stay bit-exact too
+_BK = 512
 
 
 @functools.lru_cache()
@@ -57,31 +60,33 @@ def mlp_fused_dispatch_m() -> int:
                               str(_MLP_FUSED_M_DEFAULT)))
 
 
-def _decode_w(c_slot, s_slot, bn):
-    """w8 decode of one [_BK, bn] stripe (same expressions as
+def _decode_w(c_slot, s_slot, bk, bn):
+    """w8 decode of one [bk, bn] stripe (same expressions as
     _gemm_w8_kernel: i8 codes × ue4m3 group scale / 2)."""
     w = c_slot.astype(jnp.float32)
     s = _decode_ue4m3_f32(s_slot.astype(jnp.int32)) * 0.5
-    return (w.reshape(_BK // 16, 16, bn) * s[:, None, :]).reshape(
-        _BK, bn).astype(jnp.bfloat16)
+    return (w.reshape(bk // 16, 16, bn) * s[:, None, :]).reshape(
+        bk, bn).astype(jnp.bfloat16)
 
 
 def _stream_gemm(codes_hbm, s_hbm, c_s, s_s, sems, sem_base, acc_ref,
-                 x_block, bn, nk, nj, nbuf, epilogue):
+                 x_block, bk, bn, nk, nj, nbuf, epilogue):
     """Multi-buffered streamed GEMM phase: for stripe t = j*nk + k,
-    DMA codes+scales [_BK, bn] from HBM, decode, accumulate
+    DMA codes+scales [bk, bn] from HBM, decode, accumulate
     x_block(k) @ w into acc_ref[:, :bn]; at k == nk-1 call
     epilogue(j, acc). The _gemm_w8_dma_kernel pipeline, phase-ified
-    so the full and partial MLP megakernels share it."""
+    so the full and partial MLP megakernels share it. bk matches the
+    k-split gemm_dequant would use for the same weight (the
+    bit-exactness contract is per-k-block f32 accumulation order)."""
     bm = acc_ref.shape[0]
 
     def dma(slot, t):
         j, k = t // nk, jax.lax.rem(t, nk)
         return (pltpu.make_async_copy(
-            codes_hbm.at[pl.ds(k * _BK, _BK), pl.ds(j * bn, bn)],
+            codes_hbm.at[pl.ds(k * bk, bk), pl.ds(j * bn, bn)],
             c_s.at[slot], sems.at[sem_base, slot]),
             pltpu.make_async_copy(
-            s_hbm.at[pl.ds(k * (_BK // 16), _BK // 16),
+            s_hbm.at[pl.ds(k * (bk // 16), bk // 16),
                      pl.ds(j * bn, bn)],
             s_s.at[slot], sems.at[sem_base + 1, slot]))
 
@@ -107,7 +112,7 @@ def _stream_gemm(codes_hbm, s_hbm, c_s, s_s, sems, sem_base, acc_ref,
         def _():
             acc_ref[:, :bn] = jnp.zeros((bm, bn), jnp.float32)
 
-        w = _decode_w(c_s[slot], s_s[slot], bn)
+        w = _decode_w(c_s[slot], s_s[slot], bk, bn)
         acc_ref[:, :bn] += jnp.dot(x_block(k), w,
                                    preferred_element_type=jnp.float32)
 
@@ -166,12 +171,13 @@ def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
                    out_ref, gu_ref, gx2_ref,
                    c1_s, s1_s, c2_s, s2_s, xa1_s, xa2_s, sems,
                    acc_ref, *,
-                   f: int, d: int, kq1: int, kq2: int, bn1: int,
+                   f: int, d: int, kq1: int, kq2: int, bk1: int,
+                   bk2: int, bn1: int,
                    bn2: int, nbuf: int, has_b1: bool, has_b2: bool,
                    norm_eps, out_dtype):
-    nk1 = kq1 // _BK
+    nk1 = kq1 // bk1
     nj1 = gu_ref.shape[1] // bn1
-    nk2 = kq2 // _BK
+    nk2 = kq2 // bk2
     nj2 = out_ref.shape[1] // bn2
 
     if norm_eps is not None:
@@ -179,10 +185,10 @@ def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
         # [bm, d]; gs1_ref is a dummy
         gs1 = _norm_actq_phase(xa1_ref, normw_ref, xa1_s, norm_eps,
                                d, kq1)
-        x1 = lambda k: xa1_s[:, pl.ds(k * _BK, _BK)]    # noqa: E731
+        x1 = lambda k: xa1_s[:, pl.ds(k * bk1, bk1)]    # noqa: E731
     else:
         gs1 = gs1_ref[:]
-        x1 = lambda k: xa1_ref[:, pl.ds(k * _BK, _BK)]  # noqa: E731
+        x1 = lambda k: xa1_ref[:, pl.ds(k * bk1, bk1)]  # noqa: E731
 
     def epi1(j, acc):
         y = acc * gs1 * gw1_ref[:, pl.ds(j * bn1, bn1)]
@@ -191,7 +197,7 @@ def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
         gu_ref[:, pl.ds(j * bn1, bn1)] = y.astype(gu_ref.dtype)
 
     _stream_gemm(codes1_hbm, s1_hbm, c1_s, s1_s, sems, 0, acc_ref,
-                 x1, bn1, nk1, nj1, nbuf, epi1)
+                 x1, bk1, bn1, nk1, nj1, nbuf, epi1)
 
     gx2 = _silu_actq_phase(gu_ref, gx2_ref, xa2_s, f, kq2)
 
@@ -202,15 +208,15 @@ def _mlp_w8_kernel(gs1_ref, gw1_ref, gw2_ref, b1_ref, b2_ref, xa1_ref,
         out_ref[:, pl.ds(j * bn2, bn2)] = y.astype(out_dtype)
 
     _stream_gemm(codes2_hbm, s2_hbm, c2_s, s2_s, sems, 2, acc_ref,
-                 lambda k: xa2_s[:, pl.ds(k * _BK, _BK)],
-                 bn2, nk2, nj2, nbuf, epi2)
+                 lambda k: xa2_s[:, pl.ds(k * bk2, bk2)],
+                 bk2, bn2, nk2, nj2, nbuf, epi2)
 
 
 def _gu_actq_kernel(gs1_ref, gw1_ref, b1_ref, xa1_ref,
                     codes1_hbm, s1_hbm,
                     xa2_ref, gu_ref, gx2_ref,
                     c1_s, s1_s, sems, acc_ref, *,
-                    f: int, kq1: int, kq2: int, bn1: int,
+                    f: int, kq1: int, kq2: int, bk1: int, bn1: int,
                     nbuf: int, has_b1: bool):
     """Partial megakernel (phases B+C only): gateup GEMM + silu-mul +
     ARC quantize fused; the down GEMM stays a separate call. This is
@@ -218,7 +224,7 @@ def _gu_actq_kernel(gs1_ref, gw1_ref, b1_ref, xa1_ref,
     injects the residual into xa2 (quantize._arc_residual_into over
     the returned gu) before the down GEMM, which the full megakernel
     cannot express without a VPU gather."""
-    nk1 = kq1 // _BK
+    nk1 = kq1 // bk1
     nj1 = gu_ref.shape[1] // bn1
 
     def epi1(j, acc):
@@ -228,8 +234,8 @@ def _gu_actq_kernel(gs1_ref, gw1_ref, b1_ref, xa1_ref,
         gu_ref[:, pl.ds(j * bn1, bn1)] = y.astype(gu_ref.dtype)
 
     _stream_gemm(codes1_hbm, s1_hbm, c1_s, s1_s, sems, 0, acc_ref,
-                 lambda k: xa1_ref[:, pl.ds(k * _BK, _BK)],
-                 bn1, nk1, nj1, nbuf, epi1)
+                 lambda k: xa1_ref[:, pl.ds(k * bk1, bk1)],
+                 bk1, bn1, nk1, nj1, nbuf, epi1)
     _silu_actq_phase(gu_ref, gx2_ref, xa2_ref, f, kq2)
 
 
@@ -248,15 +254,16 @@ def _pick_bn(n: int, target: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "f", "d", "kq1", "kq2", "bn1", "bn2", "has_b1", "has_b2",
-    "norm_eps", "out_dtype", "interpret"))
+    "f", "d", "kq1", "kq2", "bk1", "bk2", "bn1", "bn2", "has_b1",
+    "has_b2", "norm_eps", "out_dtype", "interpret"))
 def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, normw, codes1, s1, codes2,
-              s2, *, f, d, kq1, kq2, bn1, bn2, has_b1, has_b2,
-              norm_eps, out_dtype, interpret):
+              s2, *, f, d, kq1, kq2, bk1, bk2, bn1, bn2, has_b1,
+              has_b2, norm_eps, out_dtype, interpret):
     bm = xa1.shape[0]
     n1, n2 = codes1.shape[1], codes2.shape[1]
     kernel = functools.partial(
-        _mlp_w8_kernel, f=f, d=d, kq1=kq1, kq2=kq2, bn1=bn1, bn2=bn2,
+        _mlp_w8_kernel, f=f, d=d, kq1=kq1, kq2=kq2, bk1=bk1, bk2=bk2,
+        bn1=bn1, bn2=bn2,
         nbuf=_NBUF, has_b1=has_b1, has_b2=has_b2, norm_eps=norm_eps,
         out_dtype=out_dtype)
     vm = pltpu.VMEM
@@ -297,10 +304,10 @@ def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, normw, codes1, s1, codes2,
             jax.ShapeDtypeStruct((bm, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, _BK, bn1), jnp.int8),
-            pltpu.VMEM((_NBUF, _BK // 16, bn1), jnp.uint8),
-            pltpu.VMEM((_NBUF, _BK, bn2), jnp.int8),
-            pltpu.VMEM((_NBUF, _BK // 16, bn2), jnp.uint8),
+            pltpu.VMEM((_NBUF, bk1, bn1), jnp.int8),
+            pltpu.VMEM((_NBUF, bk1 // 16, bn1), jnp.uint8),
+            pltpu.VMEM((_NBUF, bk2, bn2), jnp.int8),
+            pltpu.VMEM((_NBUF, bk2 // 16, bn2), jnp.uint8),
             pltpu.VMEM((bm, kq1), jnp.bfloat16),
             pltpu.VMEM((bm, kq2), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((4, _NBUF)),
@@ -318,14 +325,15 @@ def _mlp_call(xa1, gs1, gw1, gw2, b1, b2, normw, codes1, s1, codes2,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "f", "kq1", "kq2", "bn1", "has_b1", "out_dtype", "interpret"))
-def _gu_actq_call(xa1, gs1, gw1, b1, codes1, s1, *, f, kq1, kq2, bn1,
-                  has_b1, out_dtype, interpret):
+    "f", "kq1", "kq2", "bk1", "bn1", "has_b1", "out_dtype",
+    "interpret"))
+def _gu_actq_call(xa1, gs1, gw1, b1, codes1, s1, *, f, kq1, kq2, bk1,
+                  bn1, has_b1, out_dtype, interpret):
     bm = xa1.shape[0]
     n1 = codes1.shape[1]
     kernel = functools.partial(
-        _gu_actq_kernel, f=f, kq1=kq1, kq2=kq2, bn1=bn1, nbuf=_NBUF,
-        has_b1=has_b1)
+        _gu_actq_kernel, f=f, kq1=kq1, kq2=kq2, bk1=bk1, bn1=bn1,
+        nbuf=_NBUF, has_b1=has_b1)
     vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
@@ -351,8 +359,8 @@ def _gu_actq_call(xa1, gs1, gw1, b1, codes1, s1, *, f, kq1, kq2, bn1,
             jax.ShapeDtypeStruct((bm, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, _BK, bn1), jnp.int8),
-            pltpu.VMEM((_NBUF, _BK // 16, bn1), jnp.uint8),
+            pltpu.VMEM((_NBUF, bk1, bn1), jnp.int8),
+            pltpu.VMEM((_NBUF, bk1 // 16, bn1), jnp.uint8),
             pltpu.SemaphoreType.DMA((2, _NBUF)),
             pltpu.VMEM((bm, bn1), jnp.float32),
         ],
@@ -390,6 +398,7 @@ def gateup_silu_quantize(xa1: jax.Array, gs1: jax.Array, pw_gu,
           jax.lax.bitcast_convert_type(pw_gu.scales, jnp.uint8))
     xa2, gu, gx2 = _gu_actq_call(
         x, gs, gw1, b1, pw_gu.codes, s1, f=f, kq1=kq1, kq2=kq2,
+        bk1=_engine_bk(pw_gu, m),
         bn1=_pick_bn(n1, 1024), has_b1=pw_gu.bias is not None,
         out_dtype=jnp.dtype(out_dtype).name, interpret=_use_interpret())
     if bm != m:
@@ -397,17 +406,21 @@ def gateup_silu_quantize(xa1: jax.Array, gs1: jax.Array, pw_gu,
     return xa2, gu, gx2
 
 
+_OK_BKS = (512, 1024, 2048)
+
+
 def gu_actq_ok(pw_gu, m: int, f: int, kq2: int, per_row: bool) -> bool:
     """Dispatch gate for the PARTIAL megakernel: like mlp_fused_ok but
     down-independent (ARC down_in allowed — residual injected by the
     caller) and only the gateup k split must match."""
     mm = mlp_fused_dispatch_m()
+    bk1 = _engine_bk(pw_gu, m)
     return (mm > 0 and m <= mm and per_row
             and isinstance(pw_gu, PackedWeightI8)
             and pw_gu.codes.ndim == 2
-            and pw_gu.n == 2 * f and pw_gu.kq % _BK == 0
-            and kq2 >= f and f % _BK == 0
-            and _engine_bk(pw_gu, m) == _BK)
+            and pw_gu.n == 2 * f and f % 128 == 0
+            and kq2 >= f
+            and bk1 in _OK_BKS and pw_gu.kq % bk1 == 0)
 
 
 def _engine_bk(pw, m: int) -> int:
@@ -423,17 +436,23 @@ def _engine_bk(pw, m: int) -> int:
 
 def mlp_fused_ok(pw_gu, pw_dn, m: int, f: int, per_row: bool,
                  select_num_down: int) -> bool:
-    """Dispatch gate for the megakernel (see module docstring)."""
+    """Dispatch gate for the megakernel (see module docstring). The
+    k splits FOLLOW the table/heuristic choice gemm_dequant would
+    make for each weight (bit-exactness contract = same per-k-block
+    accumulation order), so e.g. llama-3.1-8b's bk=1024 gateup is
+    covered."""
     mm = mlp_fused_dispatch_m()
-    return (mm > 0 and m <= mm and per_row and select_num_down == 0
+    if not (mm > 0 and m <= mm and per_row and select_num_down == 0
             and isinstance(pw_gu, PackedWeightI8)
             and isinstance(pw_dn, PackedWeightI8)
             and pw_gu.codes.ndim == 2 and pw_dn.codes.ndim == 2
-            and pw_gu.n == 2 * f and pw_gu.kq % _BK == 0
-            and pw_dn.kq % _BK == 0 and pw_dn.kq >= f
-            and f % _BK == 0
-            and _engine_bk(pw_gu, m) == _BK
-            and _engine_bk(pw_dn, m) == _BK)
+            and pw_gu.n == 2 * f and f % 128 == 0
+            and pw_dn.kq >= f):
+        return False
+    bk1 = _engine_bk(pw_gu, m)
+    bk2 = _engine_bk(pw_dn, m)
+    return (bk1 in _OK_BKS and bk2 in _OK_BKS
+            and pw_gu.kq % bk1 == 0 and pw_dn.kq % bk2 == 0)
 
 
 def mlp_w8_fused(xa1: jax.Array, gs1, pw_gu, pw_dn,
@@ -487,7 +506,9 @@ def mlp_w8_fused(xa1: jax.Array, gs1, pw_gu, pw_dn,
     out, gu, gx2 = _mlp_call(
         x, gs, gw1, gw2, b1, b2, normw2, pw_gu.codes, s1,
         pw_dn.codes, s2,
-        f=f, d=d, kq1=kq1, kq2=kq2, bn1=bn1, bn2=bn2,
+        f=f, d=d, kq1=kq1, kq2=kq2,
+        bk1=_engine_bk(pw_gu, m), bk2=_engine_bk(pw_dn, m),
+        bn1=bn1, bn2=bn2,
         has_b1=pw_gu.bias is not None, has_b2=pw_dn.bias is not None,
         norm_eps=float(norm_eps) if norm_mode else None,
         out_dtype=jnp.dtype(out_dtype).name, interpret=_use_interpret())

@@ -328,3 +328,48 @@ def test_engine_decode_norm_mode_parity():
         _os.environ.pop(mlp_fused._MLP_FUSED_M_ENV, None)
         mlp_fused.mlp_fused_dispatch_m.cache_clear()
     np.testing.assert_array_equal(base, fused)
+
+
+def test_megakernel_follows_tabled_bk1024(tmp_path, monkeypatch):
+    """When the dispatch table says bk=1024 for a weight (the
+    llama-3.1-8b gateup case), the megakernel must split at 1024 and
+    stay bit-exact vs the chain AT THAT SPLIT."""
+    import json as _json
+
+    from arcquant_tpu.kernels import autotune
+    m, d, f = 4, 1024, 1024    # kq1 = kq2 = 1024
+    ks = jax.random.split(jax.random.PRNGKey(41), 3)
+    x = jax.random.normal(ks[0], (m, d))
+    w_gu = jax.random.normal(ks[1], (2 * f, d)) * 0.05
+    w_dn = jax.random.normal(ks[2], (d, f)) * 0.05
+    ridx1 = jnp.arange(d, dtype=jnp.int32)
+    ridx2 = jnp.arange(f, dtype=jnp.int32)
+    pw_gu = packing.pack_weight_arc(w_gu, ridx1, 0, fmt="w8",
+                                    w_scale="channel")
+    pw_dn = packing.pack_weight_arc(w_dn, ridx2, 0, fmt="w8",
+                                    w_scale="channel")
+    assert pw_gu.kq == 1024 and pw_dn.kq == 1024
+    table = tmp_path / "bk1024.json"
+    table.write_text(_json.dumps({
+        f"w8|4|{pw_gu.kq}|{pw_gu.n}": {"fused": 1e-6, "dma": 2e-6,
+                                       "bk": 1024, "bn": 512},
+        f"w8|4|{pw_dn.kq}|{pw_dn.n}": {"fused": 1e-6, "dma": 2e-6,
+                                       "bk": 1024, "bn": 512},
+    }))
+    monkeypatch.setenv("ARC_AUTOTUNE_FILE", str(table))
+    autotune.invalidate_cache()
+    try:
+        assert mlp_fused._engine_bk(pw_gu, m) == 1024
+        xa1, gs1 = qk.quantize_x_arc(x, ridx1, 0, kq=pw_gu.kq,
+                                     per_row=True)
+        # chain at bk=1024 (what gemm_dequant does with this table)
+        gu = gemm.gemm_dequant(xa1, pw_gu, gs1)
+        prod = (jax.nn.silu(gu[:, :f].astype(jnp.float32))
+                * gu[:, f:].astype(jnp.float32)).astype(gu.dtype)
+        xa2, gx2 = qk.quantize_x_arc(prod, ridx2, 0, kq=pw_dn.kq,
+                                     per_row=True)
+        ref = gemm.gemm_dequant(xa2, pw_dn, gx2)
+        out, _, _ = mlp_fused.mlp_w8_fused(xa1, gs1, pw_gu, pw_dn, f)
+        assert bool(jnp.all(out == ref))
+    finally:
+        autotune.invalidate_cache()
