@@ -47,10 +47,6 @@ _MLP_FUSED_M_ENV = "ARC_MLP_FUSED_M"
 # decode 12.26 -> 11.99 ms/step, 14L 6.51 -> 6.36 — e2e_*_mega.log).
 _MLP_FUSED_M_DEFAULT = 16
 _NBUF = 3
-# historical default k split; the kernels now FOLLOW the per-weight
-# table/heuristic choice (_engine_bk) so models whose chain splits at
-# 1024/2048 (llama-3.1-8b gateup) stay bit-exact too
-_BK = 512
 
 
 @functools.lru_cache()
@@ -425,8 +421,8 @@ def gu_actq_ok(pw_gu, m: int, f: int, kq2: int, per_row: bool) -> bool:
 
 def _engine_bk(pw, m: int) -> int:
     """The k-block gemm_dequant would pick for this weight at batch m
-    (table first, then heuristic) — the megakernel's bit-exactness
-    contract requires both GEMMs to split at its fixed _BK."""
+    (table first, then heuristic) — the megakernel streams at the
+    SAME split so its f32 accumulation order matches the chain's."""
     from .autotune import lookup_blocks
     from .gemm import _decode_blocks_w8
     blk = lookup_blocks("w8", m, pw.kq, pw.n)
