@@ -35,5 +35,11 @@ step e2e_14L_final 1500 python -m benchmarks.benchmark_e2e \
 step bench_spec_r5 2400 python -m benchmarks.bench_spec \
   --model qwen2.5-7b --windows 2,4,8
 
+# second model family at current defaults (r1 booked 21.2 ms/step
+# pre-optimization; llama gateup streams at bk=1024 via the table)
+step e2e_llama8b 2400 python -m benchmarks.benchmark_e2e \
+  --model llama-3.1-8b --batch_size 4 \
+  --prefill_seq_len 1024 --decode_steps 128 --repeats 3
+
 step bench_r5_final 1500 python bench.py
 status "queue4 COMPLETE"
