@@ -124,18 +124,46 @@ def _norm_quantize(x2, norm_w, eps, site, qcfg):
     return quantized._act_quantize(x2, site, qcfg)
 
 
+def _single_gemm_fused_ok(pw, site, m, d, qcfg):
+    """Gate for the quantize+GEMM single-launch megakernel at an
+    engine site (attn_in/o_in): NVFP4 kernel path, row scales,
+    select-free site, the external quantize would take the Pallas
+    path (identical expressions), and the weight's k split is
+    streamable."""
+    if not (qcfg.quant_type == "NVFP4" and qcfg.use_kernels
+            and qcfg.act_bits == 4 and qcfg.act_scale == "row"
+            and site.select_num == 0 and hasattr(pw, "kq")):
+        return False
+    from ..kernels import mlp_fused
+    from ..kernels.quantize import _actq_pallas_ok
+    return (_actq_pallas_ok(m, d, pw.kq, True)
+            and mlp_fused.gemm_actq_ok(pw, m, d, True, 0))
+
+
 def _attn_common(cfg, p, x2, layer_calib, qcfg, b, t,
                  dtype=jnp.bfloat16, norm_w=None):
     """Quantize + fused QKV projection (one packed GEMM), split and
     reshaped to heads. Pass norm_w to fold the pre-attention rmsnorm
-    into the quantize (x2 is then the PRE-norm residual stream)."""
-    if norm_w is None:
-        xa, gx = quantized._act_quantize(x2, layer_calib["attn_in"],
-                                         qcfg)
+    into the quantize (x2 is then the PRE-norm residual stream).
+
+    At decode shapes the whole site runs as ONE launch (rmsnorm +
+    quantize + streamed qkv GEMM — kernels/mlp_fused.py
+    gemm_w8_actq_fused, bit-exact vs the two-op chain)."""
+    m, d = x2.shape
+    if (norm_w is not None and _single_gemm_fused_ok(
+            p["qkv"], layer_calib["attn_in"], m, d, qcfg)):
+        from ..kernels import mlp_fused
+        qkv, _ = mlp_fused.gemm_w8_actq_fused(
+            x2, p["qkv"], d, out_dtype=dtype, norm_w=norm_w,
+            norm_eps=cfg.rms_eps)
     else:
-        xa, gx = _norm_quantize(x2, norm_w, cfg.rms_eps,
-                                layer_calib["attn_in"], qcfg)
-    qkv = quantized._q_linear(p["qkv"], xa, gx, qcfg, dtype)
+        if norm_w is None:
+            xa, gx = quantized._act_quantize(
+                x2, layer_calib["attn_in"], qcfg)
+        else:
+            xa, gx = _norm_quantize(x2, norm_w, cfg.rms_eps,
+                                    layer_calib["attn_in"], qcfg)
+        qkv = quantized._q_linear(p["qkv"], xa, gx, qcfg, dtype)
     qs, kvs = cfg.q_size, cfg.kv_size
     q = qkv[:, :qs].reshape(b, t, cfg.num_heads, cfg.head_dim)
     k = qkv[:, qs:qs + kvs].reshape(b, t, cfg.num_kv_heads,
@@ -147,6 +175,12 @@ def _attn_common(cfg, p, x2, layer_calib, qcfg, b, t,
 def _o_proj(cfg, p, attn, layer_calib, qcfg, b, t,
             dtype=jnp.bfloat16):
     attn2 = attn.reshape(b * t, cfg.q_size)
+    if _single_gemm_fused_ok(p["o"], layer_calib["o_in"],
+                             b * t, cfg.q_size, qcfg):
+        from ..kernels import mlp_fused
+        y, _ = mlp_fused.gemm_w8_actq_fused(
+            attn2, p["o"], cfg.q_size, out_dtype=dtype)
+        return y.reshape(b, t, -1)
     oa, go = quantized._act_quantize(attn2, layer_calib["o_in"], qcfg)
     return quantized._q_linear(p["o"], oa, go, qcfg,
                                dtype).reshape(b, t, -1)

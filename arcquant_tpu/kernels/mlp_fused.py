@@ -419,6 +419,141 @@ def gu_actq_ok(pw_gu, m: int, f: int, kq2: int, per_row: bool) -> bool:
             and bk1 in _OK_BKS and pw_gu.kq % bk1 == 0)
 
 
+def _gemm_actq_kernel(gw_ref, b_ref, x_ref, normw_ref,
+                      codes_hbm, s_hbm,
+                      out_ref, gx_out_ref,
+                      c_s, s_s, xa_s, sems, acc_ref, *,
+                      d: int, kq: int, bk: int, bn: int, nbuf: int,
+                      has_b: bool, norm_eps, out_dtype):
+    """Single-GEMM megakernel: [rmsnorm +] per-row ARC quantize of x
+    fused with one streamed w8 GEMM (the attn-in qkv and o-proj
+    launches). norm_eps None = plain quantize (o_in); set = the
+    rmsnorm chain (attn_in). Same phase helpers as the MLP megakernel
+    so the bit-exactness contract carries over."""
+    nk = kq // bk
+    nj = out_ref.shape[1] // bn
+
+    if norm_eps is not None:
+        gx = _norm_actq_phase(x_ref, normw_ref, xa_s, norm_eps, d, kq)
+    else:
+        bm = x_ref.shape[0]
+        xf = x_ref[:].astype(jnp.float32)
+        gx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            * jnp.float32(N.INV_NVFP4_GLOBAL_DIV), jnp.float32(1e-12))
+        xa_s[:, :d] = _group_qdq_rows(xf / gx).astype(jnp.bfloat16)
+        if kq > d:
+            xa_s[:, d:] = jnp.zeros((bm, kq - d), jnp.bfloat16)
+    gx_out_ref[:] = gx
+
+    def epi(j, acc):
+        y = acc * gx * gw_ref[:, pl.ds(j * bn, bn)]
+        if has_b:
+            y = y + b_ref[:, pl.ds(j * bn, bn)].astype(jnp.float32)
+        out_ref[:, pl.ds(j * bn, bn)] = y.astype(out_dtype)
+
+    _stream_gemm(codes_hbm, s_hbm, c_s, s_s, sems, 0, acc_ref,
+                 lambda k: xa_s[:, pl.ds(k * bk, bk)],
+                 bk, bn, nk, nj, nbuf, epi)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "d", "kq", "bk", "bn", "has_b", "norm_eps", "out_dtype",
+    "interpret"))
+def _gemm_actq_call(x, gw, b, normw, codes, s, *, d, kq, bk, bn,
+                    has_b, norm_eps, out_dtype, interpret):
+    bm = x.shape[0]
+    n = codes.shape[1]
+    kernel = functools.partial(
+        _gemm_actq_kernel, d=d, kq=kq, bk=bk, bn=bn, nbuf=_NBUF,
+        has_b=has_b, norm_eps=norm_eps, out_dtype=out_dtype)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, n) if has_b else (1, 1),
+                         lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((bm, d), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, normw.shape[1]), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, n), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((bm, 1), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, n), out_dtype),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, bk, bn), jnp.int8),
+            pltpu.VMEM((_NBUF, bk // 16, bn), jnp.uint8),
+            pltpu.VMEM((bm, kq), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, _NBUF)),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * n * kq,
+            bytes_accessed=codes.size + s.size + x.size * 2
+            + bm * n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(gw, b, x, normw, codes, s)
+
+
+def gemm_actq_ok(pw, m: int, d: int, per_row: bool,
+                 select_num: int) -> bool:
+    """Dispatch gate for the single-GEMM megakernel (quantize + GEMM
+    in one launch): same conditions as the MLP megakernel for one
+    weight, select-free input site."""
+    mm = mlp_fused_dispatch_m()
+    if not (mm > 0 and m <= mm and per_row and select_num == 0
+            and isinstance(pw, PackedWeightI8)
+            and pw.codes.ndim == 2 and d % 128 == 0):
+        return False
+    bk = _engine_bk(pw, m)
+    return bk in _OK_BKS and pw.kq % bk == 0 and pw.kq >= d
+
+
+def gemm_w8_actq_fused(x2: jax.Array, pw, d: int,
+                       out_dtype=jnp.bfloat16,
+                       norm_w: jax.Array | None = None,
+                       norm_eps: float | None = None):
+    """(y [M, N], gx [M, 1]) = GEMM(pw, actq([rmsnorm](x2))) in one
+    launch. x2: [M, D] raw activations; norm_w set = fold the rmsnorm
+    (the attn_in site), None = plain quantize (the o_in site)."""
+    m = x2.shape[0]
+    kq, n = pw.kq, pw.n
+    bm = max(8, _round_up(m, 8))
+    x = x2
+    if bm != m:
+        x = jnp.pad(x, ((0, bm - m), (0, 0)))
+    normw2 = (norm_w.reshape(1, -1) if norm_w is not None
+              else jnp.zeros((1, 1), x.dtype))
+    gw = jnp.broadcast_to(
+        pw.global_scale.astype(jnp.float32).reshape(1, -1), (1, n))
+    b = (pw.bias.reshape(1, n).astype(jnp.float32)
+         if pw.bias is not None else jnp.zeros((1, 1), jnp.float32))
+    s = (pw.scales if pw.scales.dtype == jnp.uint8 else
+         jax.lax.bitcast_convert_type(pw.scales, jnp.uint8))
+    y, gx = _gemm_actq_call(
+        x, gw, b, normw2, pw.codes, s, d=d, kq=kq,
+        bk=_engine_bk(pw, m), bn=_pick_bn(n, 1024),
+        has_b=pw.bias is not None,
+        norm_eps=float(norm_eps) if norm_eps is not None else None,
+        out_dtype=jnp.dtype(out_dtype).name,
+        interpret=_use_interpret())
+    if bm != m:
+        y, gx = y[:m], gx[:m]
+    return y, gx
+
+
 def _engine_bk(pw, m: int) -> int:
     """The k-block gemm_dequant would pick for this weight at batch m
     (table first, then heuristic) — the megakernel streams at the
