@@ -4,6 +4,8 @@ must be BIT-exact vs the production three-op chain it replaces
 including the bf16 product round, the per-row global scale, the kq2
 zero pad, and biases."""
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import pytest
@@ -11,6 +13,10 @@ import pytest
 from arcquant_tpu.kernels import gemm, mlp_fused
 from arcquant_tpu.kernels import quantize as qk
 from arcquant_tpu.quant import packing
+
+# hardware requires 128-token pages (tokens are lanes); interpret
+# mode may use small pages (tests/test_spec.py pattern)
+PAGE = 128 if _os.environ.get("ARC_TEST_TPU") else 16
 
 
 def _mk(m, d, f, bias, key=0):
@@ -118,7 +124,7 @@ def test_engine_decode_flag_parity():
                        kv_quant=False, act_scale="row",
                        w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=0.0)
-    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=2 * PAGE, page_size=PAGE)
 
     toks = jnp.asarray([[5, 17, 301, 42], [9, 2, 77, 30]], jnp.int32)
     lens = jnp.asarray([4, 4], jnp.int32)
@@ -224,7 +230,7 @@ def test_engine_decode_flag_parity_with_arc():
                        w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=0.125)
     assert calib[0]["down_in"].select_num > 0
-    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=2 * PAGE, page_size=PAGE)
     toks = jnp.asarray([[5, 17, 301, 42], [9, 2, 77, 30]], jnp.int32)
     lens = jnp.asarray([4, 4], jnp.int32)
 
@@ -307,7 +313,7 @@ def test_engine_decode_norm_mode_parity():
                        kv_quant=False, act_scale="row",
                        w_scale="channel")
     calib = quantized.identity_calib(cfg, select_frac=0.0)
-    ecfg = EngineConfig(max_batch=2, max_seq_len=64, page_size=16)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=2 * PAGE, page_size=PAGE)
     toks = jnp.asarray([[5, 17, 301, 42], [9, 2, 77, 30]], jnp.int32)
     lens = jnp.asarray([4, 4], jnp.int32)
 
