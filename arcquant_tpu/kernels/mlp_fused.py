@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant import numerics as N
 from ..quant.packing import PackedWeightI8
 from .gemm import _decode_ue4m3_f32, _round_up, _use_interpret
-from .quantize import _group_qdq_rows
+from .quantize import _actq_pallas_min_m, _group_qdq_rows
 
 _MLP_FUSED_M_ENV = "ARC_MLP_FUSED_M"
 # Promoted after the round-5 on-chip A/B (results/r5/mlp_lab.log:
@@ -410,6 +410,8 @@ def gu_actq_ok(pw_gu, m: int, f: int, kq2: int, per_row: bool) -> bool:
     down-independent (ARC down_in allowed — residual injected by the
     caller) and only the gateup k split must match."""
     mm = mlp_fused_dispatch_m()
+    if m < _actq_pallas_min_m():   # see mlp_fused_ok
+        return False
     bk1 = _engine_bk(pw_gu, m)
     return (mm > 0 and m <= mm and per_row
             and isinstance(pw_gu, PackedWeightI8)
@@ -513,6 +515,8 @@ def gemm_actq_ok(pw, m: int, d: int, per_row: bool,
     in one launch): same conditions as the MLP megakernel for one
     weight, select-free input site."""
     mm = mlp_fused_dispatch_m()
+    if m < _actq_pallas_min_m():   # see mlp_fused_ok
+        return False
     if not (mm > 0 and m <= mm and per_row and select_num == 0
             and isinstance(pw, PackedWeightI8)
             and pw.codes.ndim == 2 and d % 128 == 0):
@@ -573,6 +577,13 @@ def mlp_fused_ok(pw_gu, pw_dn, m: int, f: int, per_row: bool,
     accumulation order), so e.g. llama-3.1-8b's bk=1024 gateup is
     covered."""
     mm = mlp_fused_dispatch_m()
+    # below the Pallas actq min-M the engine's quantize falls back to
+    # the XLA lowering, whose roundings are CONTEXT-sensitive (the
+    # round-2 jit-vs-eager lesson); the megakernel must not change
+    # numerics there, so it only engages where the fixed Pallas
+    # quantize would run anyway
+    if m < _actq_pallas_min_m():
+        return False
     if not (mm > 0 and m <= mm and per_row and select_num_down == 0
             and isinstance(pw_gu, PackedWeightI8)
             and isinstance(pw_dn, PackedWeightI8)
